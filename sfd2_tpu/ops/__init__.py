@@ -1,0 +1,10 @@
+from sfd2_tpu.ops.nms import simple_nms
+from sfd2_tpu.ops.resize import resize_bilinear
+from sfd2_tpu.ops.grid_sample import grid_sample_bilinear, sample_at_points
+from sfd2_tpu.ops.extract import extract_keypoints
+from sfd2_tpu.ops.matching import (
+    mutual_nn_match,
+    mutual_nn_ratio_match,
+    one_way_match,
+    similarity_topk,
+)

@@ -1,0 +1,104 @@
+"""Batched keypoint extraction: NMS → threshold → border → top-K → descs.
+
+Capability parity: ``nets/extractor.py:97`` (extract_resnet_return), the
+CLI-used extraction path — NMS radius 4, conf_th 0.001, border 4, top-K by
+score, bilinear descriptor lookup on the 1/4-res descriptor map with
+re-L2-normalisation — and ``extract.py:205`` (single-scale path).
+
+TPU-native redesign: the reference materialises variable-length keypoint
+lists on the host (``torch.nonzero`` → numpy sort → python filters); here
+everything is fixed-shape — one jitted program per (H, W, K) producing
+padded ``[B, K]`` arrays with a validity mask, so a whole keyframe batch
+extracts in a single device launch and shards over the batch axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sfd2_tpu.ops.grid_sample import sample_at_points
+from sfd2_tpu.ops.nms import simple_nms
+
+
+class Keypoints(NamedTuple):
+    """Padded keypoint set. Invalid rows have valid=False, score=0."""
+
+    xy: jax.Array  # [B, K, 2] float32, (x, y) pixel coords at full res
+    scores: jax.Array  # [B, K]
+    descriptors: jax.Array  # [B, K, C] L2-normalised
+    valid: jax.Array  # [B, K] bool
+
+
+def sample_descriptors(
+    desc_map: jax.Array,
+    xy: jax.Array,
+    full_hw: tuple[int, int],
+) -> jax.Array:
+    """Sample and L2-normalise descriptors.
+
+    Args:
+      desc_map: [h, w, C] coarse (typically 1/4-res) descriptor map.
+      xy: [K, 2] full-resolution (x, y) keypoint coords.
+      full_hw: (H, W) of the full-resolution score map.
+    """
+    h_c, w_c = desc_map.shape[0], desc_map.shape[1]
+    full_h, full_w = full_hw
+    cx = xy[..., 0] * (w_c / full_w) - 0.5
+    cy = xy[..., 1] * (h_c / full_h) - 0.5
+    d = sample_at_points(desc_map, jnp.stack([cx, cy], axis=-1), padding_mode="zeros")
+    norm = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return d / jnp.maximum(norm, 1e-12)
+
+
+@functools.partial(jax.jit, static_argnames=("max_keypoints", "nms_radius", "border"))
+def extract_keypoints(
+    heatmap: jax.Array,
+    desc_map: jax.Array,
+    stability: jax.Array | None = None,
+    *,
+    max_keypoints: int = 4096,
+    conf_threshold: float = 0.001,
+    nms_radius: int = 4,
+    border: int = 4,
+) -> Keypoints:
+    """Full extraction program over a batch.
+
+    Args:
+      heatmap: [B, H, W] full-resolution detection scores.
+      desc_map: [B, h, w, C] coarse descriptor map.
+      stability: optional [B, H, W] semantic-stability multiplier
+        (already mapped to {0.1, 0.5, 1.0} by the model head).
+
+    Returns `Keypoints` with K = max_keypoints padded rows per image,
+    sorted by descending score (ref sorts by confidence too,
+    ``nets/extractor.py:176``).
+    """
+    b, h, w = heatmap.shape
+    k = max_keypoints
+
+    if stability is not None:
+        heatmap = heatmap * stability
+    scores = simple_nms(heatmap, nms_radius)
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    border_ok = (
+        (xs >= border) & (xs < w - border) & (ys >= border) & (ys < h - border)
+    )
+    keep = (scores > conf_threshold) & border_ok[None]
+    masked = jnp.where(keep, scores, -jnp.inf).reshape(b, h * w)
+
+    top_scores, top_idx = jax.lax.top_k(masked, k)
+    valid = jnp.isfinite(top_scores)
+    top_scores = jnp.where(valid, top_scores, 0.0)
+    kx = (top_idx % w).astype(jnp.float32)
+    ky = (top_idx // w).astype(jnp.float32)
+    xy = jnp.stack([kx, ky], axis=-1)
+
+    descs = jax.vmap(lambda d, p: sample_descriptors(d, p, (h, w)))(desc_map, xy)
+    descs = jnp.where(valid[..., None], descs, 0.0)
+    return Keypoints(xy=xy, scores=top_scores, descriptors=descs, valid=valid)

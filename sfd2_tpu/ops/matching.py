@@ -1,0 +1,173 @@
+"""Descriptor matching kernels (XLA GEMM + top-k; Pallas variant in
+``pallas_match.py``).
+
+Capability parity: ``it_loc/matcher.py`` — the benchmark's NNM mutual-NN
+matcher (``:122``), NNR mutual-NN + symmetric Lowe-ratio (``:165``), the
+one-way matcher, and label-aware matching (``:239``, redesigned as a
+masked similarity rather than per-label python loops) — plus the hloc-side
+``hloc/matchers/nearest_neighbor.py`` (distance/ratio thresholds).
+
+Contract (identical to the reference): output is a dense ``matches0``
+index array over query rows with −1 for unmatched, alongside
+``matching_scores0`` = best cosine similarity per row.
+
+TPU-native design notes: descriptors arrive as padded fixed-K arrays with
+validity masks; invalid rows/cols are excluded by −inf masking of the
+similarity matrix, so one jitted program serves any true keypoint count
+and vmaps over a batch of pairs. The K×K similarity is a single MXU GEMM
+(K=4096, C=128 → 4.3 GFLOP — far under one chip's budget even at
+thousands of pairs/s).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_NEG = -1e9
+
+
+def _masked_similarity(
+    desc0: jax.Array,
+    desc1: jax.Array,
+    valid0: jax.Array | None,
+    valid1: jax.Array | None,
+) -> jax.Array:
+    sim = jnp.einsum(
+        "nc,mc->nm", desc0, desc1, preferred_element_type=jnp.float32
+    )
+    if valid0 is not None:
+        sim = jnp.where(valid0[:, None], sim, _NEG)
+    if valid1 is not None:
+        sim = jnp.where(valid1[None, :], sim, _NEG)
+    return sim
+
+
+def similarity_topk(sim: jax.Array, k: int = 2):
+    """Top-k similarities and indices along the last axis."""
+    return jax.lax.top_k(sim, k)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def mutual_nn_match(
+    desc0: jax.Array,
+    desc1: jax.Array,
+    valid0: jax.Array | None = None,
+    valid1: jax.Array | None = None,
+):
+    """Mutual (cycle-consistent) nearest-neighbour matching.
+
+    Returns (matches0 [N0] int32 with −1 sentinel, scores0 [N0] float32).
+    """
+    sim = _masked_similarity(desc0, desc1, valid0, valid1)
+    nn12 = jnp.argmax(sim, axis=1)
+    nn21 = jnp.argmax(sim, axis=0)
+    ids = jnp.arange(sim.shape[0], dtype=nn12.dtype)
+    mutual = ids == nn21[nn12]
+    best = jnp.max(sim, axis=1)
+    ok = mutual & (best > _NEG / 2)
+    if valid0 is not None:
+        ok = ok & valid0
+    matches0 = jnp.where(ok, nn12, -1).astype(jnp.int32)
+    scores0 = jnp.where(best > _NEG / 2, best, 0.0)
+    return matches0, scores0
+
+
+@functools.partial(jax.jit, static_argnames=())
+def mutual_nn_ratio_match(
+    desc0: jax.Array,
+    desc1: jax.Array,
+    ratio: jax.Array | float = 0.9,
+    valid0: jax.Array | None = None,
+    valid1: jax.Array | None = None,
+):
+    """Mutual NN + symmetric Lowe ratio test (reference NNR conf, ratio 0.9).
+
+    Ratio is computed on L2 distances of unit descriptors:
+    d = sqrt(2 − 2·sim), matching ``it_loc/matcher.py:165-196``.
+    """
+    sim = _masked_similarity(desc0, desc1, valid0, valid1)
+
+    def top2_ratio(s):
+        vals, idx = jax.lax.top_k(s, 2)
+        dist = jnp.sqrt(jnp.maximum(2.0 - 2.0 * vals, 0.0))
+        r = dist[:, 0] / (dist[:, 1] + 1e-8)
+        return idx[:, 0], r, vals[:, 0]
+
+    nn12, ratios12, best12 = top2_ratio(sim)
+    nn21, ratios21, _ = top2_ratio(sim.T)
+    ids = jnp.arange(sim.shape[0], dtype=nn12.dtype)
+    mutual = ids == nn21[nn12]
+    ok = mutual & (ratios12 <= ratio) & (ratios21[nn12] <= ratio)
+    ok = ok & (best12 > _NEG / 2)
+    if valid0 is not None:
+        ok = ok & valid0
+    matches0 = jnp.where(ok, nn12, -1).astype(jnp.int32)
+    scores0 = jnp.where(best12 > _NEG / 2, best12, 0.0)
+    return matches0, scores0
+
+
+@functools.partial(jax.jit, static_argnames=())
+def one_way_match(
+    desc0: jax.Array,
+    desc1: jax.Array,
+    valid0: jax.Array | None = None,
+    valid1: jax.Array | None = None,
+):
+    """One-directional NN matching (reference ONN conf)."""
+    sim = _masked_similarity(desc0, desc1, valid0, valid1)
+    nn12 = jnp.argmax(sim, axis=1)
+    best = jnp.max(sim, axis=1)
+    ok = best > _NEG / 2
+    if valid0 is not None:
+        ok = ok & valid0
+    matches0 = jnp.where(ok, nn12, -1).astype(jnp.int32)
+    scores0 = jnp.where(ok, best, 0.0)
+    return matches0, scores0
+
+
+@functools.partial(jax.jit, static_argnames=())
+def mutual_nn_match_with_labels(
+    desc0: jax.Array,
+    desc1: jax.Array,
+    labels0: jax.Array,
+    labels1: jax.Array,
+    valid0: jax.Array | None = None,
+    valid1: jax.Array | None = None,
+):
+    """Semantic-label-aware mutual NN (reference NNML,
+    ``it_loc/matcher.py:239``).
+
+    The reference loops over shared label ids and matches each block, then
+    matches the leftovers. Equivalent masked formulation (one GEMM, no
+    loops): candidate (i, j) pairs are admissible iff labels agree, or
+    either side is unlabeled (≤0); mutual NN is computed on the masked
+    similarity. This preserves the invariant that a labeled feature never
+    matches a differently-labeled one.
+    """
+    sim = _masked_similarity(desc0, desc1, valid0, valid1)
+    l0 = labels0[:, None]
+    l1 = labels1[None, :]
+    compatible = (l0 == l1) | (l0 <= 0) | (l1 <= 0)
+    sim = jnp.where(compatible, sim, _NEG)
+    nn12 = jnp.argmax(sim, axis=1)
+    nn21 = jnp.argmax(sim, axis=0)
+    ids = jnp.arange(sim.shape[0], dtype=nn12.dtype)
+    best = jnp.max(sim, axis=1)
+    ok = (ids == nn21[nn12]) & (best > _NEG / 2)
+    if valid0 is not None:
+        ok = ok & valid0
+    matches0 = jnp.where(ok, nn12, -1).astype(jnp.int32)
+    scores0 = jnp.where(best > _NEG / 2, best, 0.0)
+    return matches0, scores0
+
+
+# Batched variants: vmap over a leading pair axis — the unit of work for
+# DB-pair matching (hloc.match_features parity) where thousands of pairs
+# are matched per launch.
+mutual_nn_match_batch = jax.jit(jax.vmap(mutual_nn_match))
+mutual_nn_ratio_match_batch = jax.jit(
+    jax.vmap(mutual_nn_ratio_match, in_axes=(0, 0, None, 0, 0)),
+)
