@@ -1,0 +1,185 @@
+"""Perspective-n-Point solvers and nonlinear pose refinement (pure JAX).
+
+Capability parity: the C++ externals ``pycolmap.absolute_pose_estimation``
+(P3P + LO-RANSAC, ``it_loc/localize_cv2.py:731``) and
+``pycolmap.pose_refinement`` (Ceres pose-only LM, ``:451``) — re-designed
+for TPU as fully batched, statically-shaped programs:
+
+* minimal/least-squares solver: normalised DLT on ≥6 correspondences,
+  orthonormalised via SVD (TPU-supported), cheirality-corrected. Used
+  both as the RANSAC hypothesis generator (vmapped over sampled minimal
+  sets) and as the full-inlier initialisation.
+* refinement: Levenberg–Marquardt over an se(3)-style (axis-angle, t)
+  parameterisation with masked residuals (invalid/outlier rows weight 0),
+  fixed iteration count (static → one compiled program).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sfd2_tpu.geometry.cameras import project_points, unproject_normalized
+from sfd2_tpu.geometry.rotations import qvec_to_rotmat, rotmat_to_qvec
+
+
+def _axis_angle_to_rotmat(w: jax.Array) -> jax.Array:
+    """Rodrigues: axis-angle [..., 3] -> rotation matrix [..., 3, 3].
+
+    Formulated on the *unnormalised* skew matrix with Taylor-guarded
+    sin(θ)/θ and (1−cosθ)/θ² coefficients so it is differentiable at
+    w = 0 (the LM linearisation point).
+    """
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    zero = jnp.zeros_like(wx)
+    km = jnp.stack(
+        [
+            jnp.stack([zero, -wz, wy], -1),
+            jnp.stack([wz, zero, -wx], -1),
+            jnp.stack([-wy, wx, zero], -1),
+        ],
+        -2,
+    )
+    theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
+    small = theta2 < 1e-8
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))  # safe sqrt
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), km.shape)
+    return eye + a * km + b * (km @ km)
+
+
+def pnp_dlt(
+    points3d: jax.Array,
+    points2d_norm: jax.Array,
+    weights: jax.Array | None = None,
+):
+    """Direct linear transform PnP on normalised image coordinates.
+
+    Args:
+      points3d: [N, 3] world points.
+      points2d_norm: [N, 2] undistorted normalised coords (x/z, y/z).
+      weights: optional [N] row weights (0 disables a correspondence).
+
+    Returns (qvec [4], tvec [3]). Requires ≥6 effective correspondences;
+    with fewer the result is garbage but finite (callers gate on inlier
+    counts, mirroring the reference's ≥8-matches gate,
+    ``it_loc/localize_cv2.py:719``).
+    """
+    n = points3d.shape[0]
+    w = jnp.ones((n,), points3d.dtype) if weights is None else weights
+    wsum = jnp.maximum(jnp.sum(w), 1e-12)
+
+    # Hartley normalisation (weighted) — essential for float32 conditioning.
+    c3 = jnp.sum(points3d * w[:, None], axis=0) / wsum
+    x3 = points3d - c3
+    s3 = jnp.sqrt(3.0) / jnp.maximum(
+        jnp.sum(jnp.linalg.norm(x3, axis=1) * w) / wsum, 1e-12
+    )
+    x3 = x3 * s3
+    c2 = jnp.sum(points2d_norm * w[:, None], axis=0) / wsum
+    x2 = points2d_norm - c2
+    s2 = jnp.sqrt(2.0) / jnp.maximum(
+        jnp.sum(jnp.linalg.norm(x2, axis=1) * w) / wsum, 1e-12
+    )
+    x2 = x2 * s2
+
+    xh = jnp.concatenate([x3, jnp.ones((n, 1), points3d.dtype)], axis=1)  # [N,4]
+    u = x2[:, 0:1]
+    v = x2[:, 1:2]
+    zeros = jnp.zeros_like(xh)
+    row_u = jnp.concatenate([xh, zeros, -u * xh], axis=1)  # [N,12]
+    row_v = jnp.concatenate([zeros, xh, -v * xh], axis=1)
+    a = jnp.concatenate([row_u * w[:, None], row_v * w[:, None]], axis=0)  # [2N,12]
+    # Smallest right-singular vector of A == eigvec of AᵀA (12×12, symmetric).
+    ata = a.T @ a
+    _, vecs = jnp.linalg.eigh(ata)
+    p_norm = vecs[:, 0].reshape(3, 4)
+
+    # Denormalise: x2_norm = T2 · x2, X3_norm = T3 · X3  ⇒  P = T2⁻¹ P_n T3.
+    t2_inv = jnp.array(
+        [[1 / s2, 0, c2[0]], [0, 1 / s2, c2[1]], [0, 0, 1]], points3d.dtype
+    )
+    t3 = jnp.concatenate(
+        [
+            jnp.concatenate([s3 * jnp.eye(3, dtype=points3d.dtype), (-s3 * c3)[:, None]], 1),
+            jnp.array([[0.0, 0, 0, 1]], points3d.dtype),
+        ],
+        0,
+    )
+    p = t2_inv @ p_norm @ t3
+    # Fix the projective sign so det(M) > 0 (proper rotation).
+    m = p[:, :3]
+    p = jnp.where(jnp.linalg.det(m) < 0, -p, p)
+    m = p[:, :3]
+    # Orthonormalise rotation; recover scale.
+    uu, ss, vt = jnp.linalg.svd(m)
+    rot = uu @ vt
+    scale = jnp.mean(ss)
+    t = p[:, 3] / jnp.maximum(scale, 1e-12)
+    return rotmat_to_qvec(rot), t
+
+
+def refine_pose_lm(
+    qvec: jax.Array,
+    tvec: jax.Array,
+    points3d: jax.Array,
+    points2d: jax.Array,
+    cam_params: jax.Array,
+    weights: jax.Array,
+    iterations: int = 10,
+    init_lambda: float = 1e-3,
+):
+    """Levenberg–Marquardt pose-only refinement (pixel reprojection).
+
+    Masked rows (weight 0) contribute nothing; `iterations` is static.
+    Parity target: ``pycolmap.pose_refinement`` (Ceres LM with fixed
+    inliers). Returns (qvec, tvec).
+    """
+    rot0 = qvec_to_rotmat(qvec)
+
+    def project_rot(rot, t):
+        # Rotation-matrix projection path (avoids the non-differentiable
+        # rotmat→qvec extraction inside the LM inner loop).
+        pc = points3d @ rot.T + t
+        z = pc[:, 2]
+        inv_z = 1.0 / jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+        xn = pc[:, 0] * inv_z
+        yn = pc[:, 1] * inv_z
+        from sfd2_tpu.geometry.cameras import _distort
+
+        xd, yd = _distort(xn, yn, cam_params)
+        u = cam_params[0] * xd + cam_params[2]
+        v = cam_params[1] * yd + cam_params[3]
+        return jnp.stack([u, v], axis=-1)
+
+    def residuals(delta):
+        w, dt = delta[:3], delta[3:]
+        rot = _axis_angle_to_rotmat(w) @ rot0
+        r = (project_rot(rot, tvec + dt) - points2d) * weights[:, None]
+        return r.reshape(-1)
+
+    def step(carry, _):
+        delta, lam, best_cost = carry
+        r = residuals(delta)
+        jac = jax.jacfwd(residuals)(delta)  # [2N, 6]
+        jtj = jac.T @ jac
+        jtr = jac.T @ r
+        damped = jtj + lam * jnp.diag(jnp.diag(jtj)) + 1e-9 * jnp.eye(6)
+        upd = jnp.linalg.solve(damped, jtr)
+        cand = delta - upd
+        new_cost = jnp.sum(residuals(cand) ** 2)
+        improved = new_cost < best_cost
+        delta = jnp.where(improved, cand, delta)
+        lam = jnp.where(improved, lam * 0.3, lam * 4.0)
+        best_cost = jnp.minimum(best_cost, new_cost)
+        return (delta, lam, best_cost), None
+
+    init_cost = jnp.sum(residuals(jnp.zeros(6)) ** 2)
+    (delta, _, _), _ = jax.lax.scan(
+        step, (jnp.zeros(6, qvec.dtype), jnp.array(init_lambda, qvec.dtype), init_cost),
+        None, length=iterations,
+    )
+    w, dt = delta[:3], delta[3:]
+    rot = _axis_angle_to_rotmat(w) @ rot0
+    return rotmat_to_qvec(rot), tvec + dt
