@@ -1,0 +1,162 @@
+"""HDF5 feature / match stores.
+
+Capability parity: the reference's extraction CLI writes one HDF5 group
+per image with ``keypoints`` [N,2|3], ``descriptors`` **[128, N]**
+(transposed at ``extract_localization.py:253``), ``scores`` [N] and
+``image_size``; the matching CLI writes groups named
+``names_to_pair(n0, n1)`` with ``matches0`` (int) and
+``matching_scores0`` (``hloc/match_features.py:113-119``). Both stages
+are resumable by skipping existing groups (``hloc/match_features.py:94``).
+
+This module reads/writes that exact layout (so artifacts interoperate
+with reference tooling) while exposing padded fixed-K arrays + validity
+masks to the device pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict, Iterable, NamedTuple
+
+import h5py
+import numpy as np
+
+
+class ImageFeatures(NamedTuple):
+    keypoints: np.ndarray  # [N, 2] float32 (x, y)
+    descriptors: np.ndarray  # [N, C] float32
+    scores: np.ndarray  # [N] float32
+    image_size: np.ndarray | None  # [2] (w, h) or None
+
+
+def names_to_pair(name0: str, name1: str) -> str:
+    """hloc pair-group key (``hloc/utils/parsers.py:66``)."""
+    return "_".join((name0.replace("/", "-"), name1.replace("/", "-")))
+
+
+class FeatureStore:
+    """Read/write per-image features (reference-compatible layout)."""
+
+    def __init__(self, path: os.PathLike, mode: str = "r"):
+        self.path = Path(path)
+        self._f = h5py.File(self.path, mode)
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._f
+
+    def keys(self) -> Iterable[str]:
+        def walk(group, prefix=""):
+            for k, v in group.items():
+                full = f"{prefix}/{k}" if prefix else k
+                if isinstance(v, h5py.Group):
+                    if "keypoints" in v:
+                        yield full
+                    else:
+                        yield from walk(v, full)
+
+        return list(walk(self._f))
+
+    def write(self, name: str, feats: ImageFeatures) -> None:
+        if name in self._f:
+            del self._f[name]
+        grp = self._f.create_group(name)
+        grp.create_dataset("keypoints", data=np.asarray(feats.keypoints, np.float32))
+        # Reference stores descriptors transposed [C, N].
+        grp.create_dataset(
+            "descriptors", data=np.ascontiguousarray(np.asarray(feats.descriptors).T)
+        )
+        grp.create_dataset("scores", data=np.asarray(feats.scores, np.float32))
+        if feats.image_size is not None:
+            grp.create_dataset("image_size", data=np.asarray(feats.image_size))
+
+    def read(self, name: str) -> ImageFeatures:
+        grp = self._f[name]
+        kpts = grp["keypoints"][()].astype(np.float32)
+        desc = grp["descriptors"][()].astype(np.float32)
+        if desc.shape[0] != kpts.shape[0] and desc.shape[1] == kpts.shape[0]:
+            desc = desc.T  # stored [C, N]
+        scores = grp["scores"][()].astype(np.float32).reshape(-1)
+        size = grp["image_size"][()] if "image_size" in grp else None
+        return ImageFeatures(kpts[:, :2], desc, scores, size)
+
+    def read_padded(self, name: str, k: int):
+        """Return (keypoints [k,2], descriptors [k,C], scores [k], valid [k])."""
+        f = self.read(name)
+        n = min(len(f.keypoints), k)
+        c = f.descriptors.shape[1]
+        kp = np.zeros((k, 2), np.float32)
+        de = np.zeros((k, c), np.float32)
+        sc = np.zeros((k,), np.float32)
+        va = np.zeros((k,), bool)
+        kp[:n] = f.keypoints[:n]
+        de[:n] = f.descriptors[:n]
+        sc[:n] = f.scores[:n]
+        va[:n] = True
+        return kp, de, sc, va
+
+
+class MatchStore:
+    """Read/write pairwise matches (reference-compatible layout)."""
+
+    def __init__(self, path: os.PathLike, mode: str = "r"):
+        self.path = Path(path)
+        self._f = h5py.File(self.path, mode)
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def has_pair(self, name0: str, name1: str) -> bool:
+        return names_to_pair(name0, name1) in self._f or names_to_pair(
+            name1, name0
+        ) in self._f
+
+    def write(self, name0, name1, matches0: np.ndarray, scores0: np.ndarray | None = None):
+        key = names_to_pair(name0, name1)
+        if key in self._f:
+            del self._f[key]
+        grp = self._f.create_group(key)
+        grp.create_dataset("matches0", data=np.asarray(matches0, np.int16))
+        if scores0 is not None:
+            grp.create_dataset(
+                "matching_scores0", data=np.asarray(scores0, np.float16)
+            )
+
+    def read(self, name0, name1):
+        """Return (matches0 [N0] int, scores0 [N0] float) with orientation
+        handling: reading a reversed pair inverts the match direction."""
+        key = names_to_pair(name0, name1)
+        if key in self._f:
+            grp = self._f[key]
+            m = grp["matches0"][()].astype(np.int64)
+            s = (
+                grp["matching_scores0"][()].astype(np.float32)
+                if "matching_scores0" in grp
+                else np.zeros(len(m), np.float32)
+            )
+            return m, s
+        rkey = names_to_pair(name1, name0)
+        grp = self._f[rkey]
+        m_rev = grp["matches0"][()].astype(np.int64)
+        # Invert: matches0_fwd[j] = i where m_rev[i] = j.
+        n0 = int(m_rev.max()) + 1 if m_rev.size and m_rev.max() >= 0 else 0
+        m = np.full(max(n0, 0), -1, np.int64)
+        src = np.nonzero(m_rev >= 0)[0]
+        m[m_rev[src]] = src
+        s = np.zeros(len(m), np.float32)
+        return m, s

@@ -1,0 +1,357 @@
+"""Hierarchical localization engine (it_loc semantics, TPU-batched).
+
+Capability parity: ``it_loc/localize_cv2.py`` —
+``pose_from_cluster_with_matcher:652`` (per-cluster 2D-3D matching, PnP,
+per-DB-image consensus gates, covisibility refinement, graded fallbacks)
+and ``pose_refinement_covisibility:236`` (frame expansion, re-matching,
+radius gate, iterative opt_th re-selection + pose refinement).
+
+TPU-native redesign (SURVEY §7.1):
+* the reference matches the query against each DB image in its own CUDA
+  call (HOT LOOP #1/#2, §3.1); here all candidate DB descriptor banks are
+  stacked [D, K, C] and matched in ONE batched GEMM program per cluster /
+  refinement round, with D padded to a small set of bucket sizes so the
+  jit cache stays warm;
+* PnP-RANSAC and LM refinement run on device with padded correspondence
+  arrays (`sfd2_tpu.localization.ransac`);
+* irregular graph work (dedup, covisibility ranking) stays host-side on
+  the CSR ``MapIndex``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfd2_tpu.geometry.cameras import canonicalize_params
+from sfd2_tpu.geometry.np_pose import qvec_to_rotmat
+from sfd2_tpu.io.feature_store import FeatureStore
+from sfd2_tpu.localization.ransac import pnp_ransac
+from sfd2_tpu.ops.matching import mutual_nn_match_batch
+from sfd2_tpu.sfm.map_index import MapIndex
+
+_D_BUCKETS = (1, 4, 8, 16, 32, 64, 128)
+
+
+def _bucket(d: int) -> int:
+    for b in _D_BUCKETS:
+        if d <= b:
+            return b
+    return ((d + 127) // 128) * 128
+
+
+def _np_project(points3d, qvec, tvec, cam8):
+    rot = qvec_to_rotmat(np.asarray(qvec, float))
+    pc = points3d @ rot.T + np.asarray(tvec, float)
+    z = np.where(np.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
+    x, y = pc[:, 0] / z, pc[:, 1] / z
+    k1, k2, p1, p2 = cam8[4:8]
+    r2 = x * x + y * y
+    radial = 1 + k1 * r2 + k2 * r2 * r2
+    xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+    yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+    return np.stack([cam8[0] * xd + cam8[2], cam8[1] * yd + cam8[3]], axis=1), z
+
+
+@dataclasses.dataclass
+class LocalizerConfig:
+    """Per-dataset knobs (defaults = Aachen, ``test_aachenv_1_1:54-80``)."""
+
+    ransac_thresh: float = 15.0
+    opt_thresh: float = 15.0
+    inlier_thresh: int = 10
+    covisibility_frame: int = 50
+    iters: int = 5
+    radius: float = 30.0
+    obs_thresh: int = 3
+    opt_type: str = "clurefobs"  # clu|ref|obs|pos flags, reference-style
+    do_covisibility_opt: bool = True
+    max_keypoints: int = 4096
+    num_hypotheses: int = 1024
+
+
+@dataclasses.dataclass
+class QueryResult:
+    qvec: np.ndarray
+    tvec: np.ndarray
+    num_inliers: int
+    log: str = ""
+    source: str = ""  # accepted | best_fallback | retrieval_fallback
+
+
+class LocalizationEngine:
+    def __init__(
+        self,
+        map_index: MapIndex,
+        feature_store: FeatureStore,
+        config: LocalizerConfig = LocalizerConfig(),
+    ):
+        self.map = map_index
+        self.features = feature_store
+        self.cfg = config
+        self._db_cache: Dict[str, tuple] = {}
+
+    # ------------------------------------------------------------------
+    def _db_feats(self, image_id: int):
+        """Padded (kp, desc, valid3d, p3d_rows) for a DB image, cached."""
+        name = self.map.images[image_id].name
+        if name not in self._db_cache:
+            k = self.cfg.max_keypoints
+            kp, desc, _, valid = self.features.read_padded(name, k)
+            prow_full = self.map.p3d_rows_per_image[self.map.image_row[image_id]]
+            prow = np.full(k, -1, np.int64)
+            n = min(len(prow_full), k)
+            prow[:n] = prow_full[:n]
+            valid3d = valid & (prow >= 0)
+            self._db_cache[name] = (kp, desc, valid3d, prow)
+        return self._db_cache[name]
+
+    def _match_query_to_dbs(self, q_desc, q_valid, db_ids: Sequence[int]):
+        """One batched mutual-NN launch: query vs every candidate DB bank,
+        DB rows restricted to keypoints with valid 3D points
+        (``feature_matching`` restriction, ``it_loc/localize_cv2.py:530``).
+        Returns matches [D, K] (−1 sentinel)."""
+        d_pad = _bucket(len(db_ids))
+        k = self.cfg.max_keypoints
+        c = q_desc.shape[1]
+        db_desc = np.zeros((d_pad, k, c), np.float32)
+        db_valid = np.zeros((d_pad, k), bool)
+        for i, iid in enumerate(db_ids):
+            _, desc, valid3d, _ = self._db_feats(iid)
+            db_desc[i] = desc
+            # Reference bails out when ≤3 valid 3D rows.
+            if valid3d.sum() > 3:
+                db_valid[i] = valid3d
+        q_desc_b = np.broadcast_to(q_desc, (d_pad, k, c))
+        q_valid_b = np.broadcast_to(q_valid, (d_pad, k))
+        matches, _ = mutual_nn_match_batch(
+            jnp.asarray(q_desc_b), jnp.asarray(db_desc),
+            jnp.asarray(q_valid_b), jnp.asarray(db_valid),
+        )
+        return np.asarray(matches)[: len(db_ids)]
+
+    # ------------------------------------------------------------------
+    def _assemble_2d3d(
+        self,
+        kpq: np.ndarray,
+        matches: np.ndarray,
+        db_ids: Sequence[int],
+        obs_th: int,
+        dedup: Dict[int, set],
+        gate_pose: Optional[tuple] = None,
+        cam8: Optional[np.ndarray] = None,
+        radius: float = 0.0,
+    ):
+        """2D-3D correspondence assembly with (qid, p3d) dedup, track-length
+        filtering and optional reprojection radius gating
+        (``match_cluster_2D:563`` + the refinement gate ``:341-350``)."""
+        mp3d, mkpq, p3d_rows, q_ids, src_db = [], [], [], [], []
+        per_db: Dict[int, List[tuple]] = {}
+        for di, iid in enumerate(db_ids):
+            _, _, _, prow = self._db_feats(iid)
+            m = matches[di]
+            qidx = np.nonzero(m >= 0)[0]
+            if len(qidx) == 0:
+                per_db[iid] = []
+                continue
+            rows = prow[m[qidx]]
+            ok = rows >= 0
+            qidx, rows = qidx[ok], rows[ok]
+            ok = self.map.track_len[rows] >= obs_th
+            qidx, rows = qidx[ok], rows[ok]
+            recs = []
+            for qi, pr in zip(qidx, rows):
+                qi, pr = int(qi), int(pr)
+                recs.append((qi, pr))
+                seen = dedup.setdefault(qi, set())
+                if pr in seen:
+                    continue
+                seen.add(pr)
+                if gate_pose is not None and radius > 0:
+                    xy, _ = _np_project(
+                        self.map.point_xyz[pr : pr + 1], gate_pose[0], gate_pose[1], cam8
+                    )
+                    if np.linalg.norm(kpq[qi] - xy[0]) > radius:
+                        continue
+                mp3d.append(self.map.point_xyz[pr])
+                mkpq.append(kpq[qi])
+                p3d_rows.append(pr)
+                q_ids.append(qi)
+                src_db.append(iid)
+            per_db[iid] = recs
+        mp3d = np.array(mp3d, np.float64).reshape(-1, 3)
+        mkpq = np.array(mkpq, np.float64).reshape(-1, 2) + 0.5  # COLMAP origin
+        return mp3d, mkpq, np.array(p3d_rows, np.int64), np.array(q_ids, np.int64), per_db
+
+    # ------------------------------------------------------------------
+    def _run_pnp(self, mkpq, mp3d, cam8, thresh, seed=0):
+        n = len(mkpq)
+        n_pad = max(64, 1 << (n - 1).bit_length())
+        kp = np.zeros((n_pad, 2), np.float32)
+        p3 = np.zeros((n_pad, 3), np.float32)
+        va = np.zeros(n_pad, bool)
+        kp[:n] = mkpq
+        p3[:n] = mp3d
+        va[:n] = True
+        res = pnp_ransac(
+            jnp.asarray(kp), jnp.asarray(p3), jnp.asarray(cam8, jnp.float32).reshape(8),
+            jnp.asarray(va), threshold=float(thresh), key=jax.random.PRNGKey(seed),
+            num_hypotheses=self.cfg.num_hypotheses,
+        )
+        return (
+            np.asarray(res.qvec, np.float64),
+            np.asarray(res.tvec, np.float64),
+            np.asarray(res.inliers)[:n],
+            int(res.num_inliers),
+            bool(res.success),
+        )
+
+    # ------------------------------------------------------------------
+    def refine_covisibility(
+        self,
+        qname: str,
+        cam8: np.ndarray,
+        q_feats,
+        seed_image_id: int,
+        qvec: np.ndarray,
+        tvec: np.ndarray,
+    ) -> Tuple[np.ndarray, np.ndarray, int, str]:
+        """``pose_refinement_covisibility``: expand frames, re-match, gate by
+        reprojection radius, PnP at opt_th, then iters× re-select + refine."""
+        cfg = self.cfg
+        log = ""
+        if "obs" in cfg.opt_type:
+            db_ids = self.map.covis_frames_obs(
+                seed_image_id,
+                covisibility_frame=cfg.covisibility_frame,
+                obs_th=cfg.obs_thresh,
+                pred_qvec=qvec,
+                pred_tvec=tvec,
+            )
+        elif "pos" in cfg.opt_type:
+            db_ids = self.map.covis_frames_pose(
+                seed_image_id, qvec, tvec,
+                covisibility_frame=cfg.covisibility_frame,
+                q_th=10.0, t_th=10.0, obs_th=cfg.obs_thresh,
+            )
+        else:
+            raise ValueError(f"opt_type {cfg.opt_type!r} needs 'obs' or 'pos'")
+
+        kpq, q_desc, q_valid = q_feats
+        matches = self._match_query_to_dbs(q_desc, q_valid, db_ids)
+        mp3d, mkpq, p3d_rows, q_ids, _ = self._assemble_2d3d(
+            kpq, matches, db_ids, cfg.obs_thresh, dedup={},
+            gate_pose=(qvec, tvec), cam8=cam8, radius=cfg.radius,
+        )
+        log += f"covis refine: {len(db_ids)} frames, {len(mkpq)} matches\n"
+        if len(mkpq) < 6:
+            return qvec, tvec, 0, log + "too few matches, keep pose\n"
+
+        q_new, t_new, inliers_rsac, num, success = self._run_pnp(
+            mkpq, mp3d, cam8, cfg.opt_thresh, seed=1
+        )
+        if not success:
+            return qvec, tvec, 0, log + "refinement RANSAC failed, keep pose\n"
+        qvec, tvec = q_new, t_new
+
+        if "ref" in cfg.opt_type and inliers_rsac.sum() >= 10:
+            from sfd2_tpu.localization.pnp import refine_pose_lm
+
+            for it in range(cfg.iters):
+                proj, _ = _np_project(mp3d, qvec, tvec, cam8)
+                err = np.linalg.norm(mkpq - proj, axis=1)
+                mask = (err <= cfg.opt_thresh) & inliers_rsac
+                if mask.sum() < 6:
+                    break
+                q_r, t_r = refine_pose_lm(
+                    jnp.asarray(qvec, jnp.float32), jnp.asarray(tvec, jnp.float32),
+                    jnp.asarray(mp3d, jnp.float32), jnp.asarray(mkpq, jnp.float32),
+                    jnp.asarray(cam8, jnp.float32).reshape(8),
+                    jnp.asarray(mask, jnp.float32),
+                )
+                qvec = np.asarray(q_r, np.float64)
+                tvec = np.asarray(t_r, np.float64)
+                num = int(mask.sum())
+                log += f"iter {it+1}: {num} inliers\n"
+        return qvec, tvec, num, log
+
+    # ------------------------------------------------------------------
+    def localize(
+        self,
+        qname: str,
+        qinfo,
+        clusters: Sequence[Sequence[int]],
+    ) -> QueryResult:
+        """``pose_from_cluster_with_matcher`` semantics over candidate
+        clusters (each a list of DB image ids, e.g. singletons for
+        init_type='sng')."""
+        cfg = self.cfg
+        model, width, height, params = qinfo
+        cam8 = canonicalize_params(model, params)
+
+        k = cfg.max_keypoints
+        kpq, q_desc, _, q_valid = self.features.read_padded(qname, k)
+        q_feats = (kpq, q_desc, q_valid)
+        log = ""
+
+        best = {"num_inliers": 0, "qvec": None, "tvec": None, "db_id": None}
+        for ci, cluster in enumerate(clusters):
+            matches = self._match_query_to_dbs(q_desc, q_valid, cluster)
+            mp3d, mkpq, p3d_rows, q_ids, per_db = self._assemble_2d3d(
+                kpq, matches, cluster, obs_th=3, dedup={}
+            )
+            if len(mp3d) < 8:
+                log += f"cluster {ci}: only {len(mp3d)} matches, skip\n"
+                continue
+            qv, tv, inliers, num, success = self._run_pnp(
+                mkpq, mp3d, cam8, cfg.ransac_thresh, seed=ci
+            )
+            if not success:
+                log += f"cluster {ci}: PnP failed\n"
+                continue
+
+            # Best-single-image consensus (``:745-760``): per DB image,
+            # count its (qid → p3d) matches that are PnP inliers.
+            q_assign = {}
+            for i in range(len(q_ids)):
+                if inliers[i]:
+                    q_assign[int(q_ids[i])] = int(p3d_rows[i])
+            best_single, best_db = -1, cluster[0]
+            for iid, recs in per_db.items():
+                n = sum(1 for qi, pr in recs if q_assign.get(qi) == pr)
+                if n > best_single:
+                    best_single, best_db = n, iid
+
+            if best_single >= 8 and num > best["num_inliers"]:
+                best.update(num_inliers=num, qvec=qv, tvec=tv, db_id=best_db)
+            if num < cfg.inlier_thresh or best_single < 10:
+                log += f"cluster {ci}: weak ({best_single}/{num} inliers)\n"
+                continue
+
+            log += f"cluster {ci}: accepted ({best_single}/{num} inliers)\n"
+            if cfg.do_covisibility_opt and "clu" in cfg.opt_type:
+                qv, tv, num, rlog = self.refine_covisibility(
+                    qname, cam8, q_feats, best_db, qv, tv
+                )
+                log += rlog
+            return QueryResult(qv, tv, num, log, source="accepted")
+
+        if best["num_inliers"] >= 10:
+            qv, tv = best["qvec"], best["tvec"]
+            if cfg.do_covisibility_opt and "clu" in cfg.opt_type:
+                qv, tv, _, rlog = self.refine_covisibility(
+                    qname, cam8, q_feats, best["db_id"], qv, tv
+                )
+                log += rlog
+            return QueryResult(qv, tv, 0, log, source="best_fallback")
+
+        # Final fallback: pose of the top retrieved frame (``:1266-1272``).
+        top = self.map.images[clusters[0][0]]
+        log += f"failed; using pose of {top.name}\n"
+        return QueryResult(
+            np.array(top.qvec), np.array(top.tvec), -1, log, source="retrieval_fallback"
+        )
