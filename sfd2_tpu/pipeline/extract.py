@@ -1,0 +1,214 @@
+"""Batched feature-extraction pipeline (image files → HDF5 feature store).
+
+Capability parity: ``extract_localization.py`` — the DB/query extraction
+CLI with its named conf registry (max_keypoints 4096/3000/2000/1000,
+conf_th 0.001, resize_max 1600/1024, single scale), cv2 BGR→RGB loading
+with INTER_CUBIC max-edge resize (``:164-178``), keypoint rescale
+``(kp + 0.5) * scale − 0.5`` back to original resolution (``:263``), and
+the HDF5 group layout. Also covers ``extract.py:205``'s single-image
+path and the multi-scale pyramid (``extract.py:87``, scales kwarg).
+
+TPU-native redesign: images are padded to bucketed static shapes and
+processed as batches through ONE jitted program (model forward → stability
+fold → NMS → top-K → descriptor sampling), instead of the reference's
+per-image python loop with host NMS. Padding regions are masked out by
+score (padded pixels produce conf 0 < conf_th).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfd2_tpu.io.feature_store import FeatureStore, ImageFeatures
+from sfd2_tpu.models.sfd2 import ResSegNetV2
+from sfd2_tpu.ops.extract import extract_keypoints
+from sfd2_tpu.ops.resize import resize_bilinear
+
+# ImageNet normalisation (``nets/extractor.py:14-15``).
+_RGB_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_RGB_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class ExtractionConfig:
+    max_keypoints: int = 4096
+    conf_threshold: float = 0.001
+    nms_radius: int = 4
+    border: int = 4
+    resize_max: int = 1600
+    scales: Tuple[float, ...] = (1.0,)
+    pad_multiple: int = 64  # static-shape bucketing granularity
+    batch_size: int = 4
+
+
+# Named presets mirroring the reference registry
+# (``extract_localization.py:26-120``; long names abbreviated to the knobs
+# that differ).
+EXTRACTION_CONFS: Dict[str, ExtractionConfig] = {
+    "sfd2-n4096-r1600": ExtractionConfig(max_keypoints=4096, resize_max=1600),
+    "sfd2-n3000-r1600": ExtractionConfig(max_keypoints=3000, resize_max=1600),
+    "sfd2-n2000-r1600": ExtractionConfig(max_keypoints=2000, resize_max=1600),
+    "sfd2-n1000-r1600": ExtractionConfig(max_keypoints=1000, resize_max=1600),
+    "sfd2-n4096-r1024": ExtractionConfig(max_keypoints=4096, resize_max=1024),
+    "sfd2-n4096-r1600-ms": ExtractionConfig(
+        max_keypoints=4096, resize_max=1600, scales=(1.0, 0.8333, 0.6944)
+    ),
+}
+
+
+def load_image(path, resize_max: int | None):
+    """cv2 load (BGR→RGB) + INTER_CUBIC max-edge resize; returns
+    (float32 [H,W,3] in [0,1], original (w, h))."""
+    import cv2
+
+    bgr = cv2.imread(str(path))
+    if bgr is None:
+        raise FileNotFoundError(path)
+    rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+    h, w = rgb.shape[:2]
+    if resize_max and max(h, w) > resize_max:
+        scale = resize_max / max(h, w)
+        rgb = cv2.resize(
+            rgb, (int(round(w * scale)), int(round(h * scale))), interpolation=cv2.INTER_CUBIC
+        )
+    return rgb.astype(np.float32) / 255.0, (w, h)
+
+
+def normalize_image(img: np.ndarray) -> np.ndarray:
+    return (img - _RGB_MEAN) / _RGB_STD
+
+
+class Extractor:
+    """Jitted batched extraction with a per-shape program cache."""
+
+    def __init__(self, variables, config: ExtractionConfig = ExtractionConfig(),
+                 model: ResSegNetV2 | None = None):
+        self.model = model or ResSegNetV2(require_stability=True)
+        self.variables = variables
+        self.cfg = config
+        self._programs: Dict[Tuple[int, int, int], callable] = {}
+
+    def _program(self, shape: Tuple[int, int, int]):
+        if shape not in self._programs:
+            cfg = self.cfg
+
+            @jax.jit
+            def run(variables, images):
+                out = self.model.apply(variables, images)
+                score = out.score
+                h, w = images.shape[1], images.shape[2]
+                if score.shape[1] != h or score.shape[2] != w:
+                    score = resize_bilinear(score[..., None], (h, w))[..., 0]
+                return extract_keypoints(
+                    score,
+                    out.descriptors,
+                    out.stability,
+                    max_keypoints=cfg.max_keypoints,
+                    conf_threshold=cfg.conf_threshold,
+                    nms_radius=cfg.nms_radius,
+                    border=cfg.border,
+                )
+
+            self._programs[shape] = run
+        return self._programs[shape]
+
+    def _pad_batch(self, images: Sequence[np.ndarray]):
+        m = self.cfg.pad_multiple
+        hmax = max(im.shape[0] for im in images)
+        wmax = max(im.shape[1] for im in images)
+        hp = ((hmax + m - 1) // m) * m
+        wp = ((wmax + m - 1) // m) * m
+        batch = np.zeros((len(images), hp, wp, 3), np.float32)
+        for i, im in enumerate(images):
+            batch[i, : im.shape[0], : im.shape[1]] = normalize_image(im)
+        return batch
+
+    def extract_batch(self, images: Sequence[np.ndarray]) -> List[ImageFeatures]:
+        """Extract from a list of float [H,W,3] images (possibly ragged)."""
+        cfg = self.cfg
+        all_feats: List[Dict[str, np.ndarray]] = [
+            {"kp": [], "desc": [], "score": []} for _ in images
+        ]
+        for s in cfg.scales:
+            scaled = [
+                im
+                if s == 1.0
+                else np.asarray(
+                    resize_bilinear(
+                        jnp.asarray(im),
+                        (int(im.shape[0] * s), int(im.shape[1] * s)),
+                    )
+                )
+                for im in images
+            ]
+            batch = self._pad_batch(scaled)
+            kp = self._program(batch.shape[1:])(self.variables, jnp.asarray(batch))
+            xy = np.asarray(kp.xy)
+            scores = np.asarray(kp.scores)
+            descs = np.asarray(kp.descriptors)
+            valid = np.asarray(kp.valid)
+            for i, im in enumerate(images):
+                sh, sw = scaled[i].shape[:2]
+                v = valid[i] & (xy[i, :, 0] < sw) & (xy[i, :, 1] < sh)
+                pts = xy[i][v]
+                if s != 1.0:
+                    # Rescale to the resize_max resolution (reference
+                    # multiplies by W/nw, ``nets/extractor.py:214-215``).
+                    pts = pts * np.array(
+                        [im.shape[1] / sw, im.shape[0] / sh], np.float32
+                    )
+                all_feats[i]["kp"].append(pts)
+                all_feats[i]["desc"].append(descs[i][v])
+                all_feats[i]["score"].append(scores[i][v])
+
+        out = []
+        for i, im in enumerate(images):
+            kp = np.concatenate(all_feats[i]["kp"]) if all_feats[i]["kp"] else np.zeros((0, 2), np.float32)
+            de = np.concatenate(all_feats[i]["desc"]) if all_feats[i]["desc"] else np.zeros((0, 128), np.float32)
+            sc = np.concatenate(all_feats[i]["score"]) if all_feats[i]["score"] else np.zeros((0,), np.float32)
+            order = np.argsort(-sc)[: cfg.max_keypoints]
+            out.append(
+                ImageFeatures(
+                    kp[order], de[order], sc[order],
+                    np.array([im.shape[1], im.shape[0]]),
+                )
+            )
+        return out
+
+    def extract_to_store(
+        self,
+        image_dir,
+        names: Iterable[str],
+        store: FeatureStore,
+        skip_existing: bool = True,
+    ) -> int:
+        """Extract `names` (relative paths) into `store`; resumable like the
+        reference (existing groups skipped). Returns #extracted."""
+        cfg = self.cfg
+        todo = [n for n in names if not (skip_existing and n in store)]
+        count = 0
+        for i in range(0, len(todo), cfg.batch_size):
+            chunk = todo[i : i + cfg.batch_size]
+            images, orig_sizes = [], []
+            for n in chunk:
+                im, (w0, h0) = load_image(Path(image_dir) / n, cfg.resize_max)
+                images.append(im)
+                orig_sizes.append((w0, h0))
+            feats = self.extract_batch(images)
+            for n, f, (w0, h0), im in zip(chunk, feats, orig_sizes, images):
+                scale = np.array(
+                    [w0 / im.shape[1], h0 / im.shape[0]], np.float32
+                )
+                # Reference rescale: (kp + 0.5) * scale − 0.5.
+                kp = (f.keypoints + 0.5) * scale - 0.5
+                store.write(
+                    n, ImageFeatures(kp, f.descriptors, f.scores, np.array([w0, h0]))
+                )
+                count += 1
+        return count

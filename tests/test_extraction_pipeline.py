@@ -1,0 +1,93 @@
+import numpy as np
+import jax
+import pytest
+
+from sfd2_tpu.models.sfd2 import ResSegNetV2
+from sfd2_tpu.pipeline.extract import (
+    Extractor,
+    ExtractionConfig,
+    EXTRACTION_CONFS,
+    normalize_image,
+)
+from sfd2_tpu.io.feature_store import FeatureStore
+
+
+@pytest.fixture(scope="module")
+def small_extractor():
+    model = ResSegNetV2(require_stability=True)
+    x = np.zeros((1, 64, 64, 3), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    cfg = ExtractionConfig(
+        max_keypoints=256, conf_threshold=1e-5, resize_max=128, pad_multiple=32,
+        batch_size=2,
+    )
+    return Extractor(variables, cfg, model=model)
+
+
+def test_extract_batch_shapes(small_extractor, rng):
+    imgs = [
+        rng.random((96, 120, 3)).astype(np.float32),
+        rng.random((80, 100, 3)).astype(np.float32),
+    ]
+    feats = small_extractor.extract_batch(imgs)
+    assert len(feats) == 2
+    for f, im in zip(feats, imgs):
+        assert f.keypoints.shape[1] == 2
+        assert f.descriptors.shape == (len(f.keypoints), 128)
+        assert len(f.scores) == len(f.keypoints)
+        assert np.all(f.keypoints[:, 0] < im.shape[1])
+        assert np.all(f.keypoints[:, 1] < im.shape[0])
+        # unit descriptors
+        if len(f.keypoints):
+            np.testing.assert_allclose(
+                np.linalg.norm(f.descriptors, axis=1), 1.0, atol=1e-4
+            )
+
+
+def test_extract_padding_does_not_leak_keypoints(small_extractor, rng):
+    """Keypoints must never fall in the zero-padded region."""
+    img = rng.random((70, 90, 3)).astype(np.float32)  # pads to 96x96
+    feats = small_extractor.extract_batch([img])[0]
+    assert np.all(feats.keypoints[:, 0] < 90)
+    assert np.all(feats.keypoints[:, 1] < 70)
+
+
+def test_extract_to_store_and_resume(small_extractor, tmp_path, rng):
+    import cv2
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    names = []
+    for i in range(3):
+        im = (rng.random((150, 200, 3)) * 255).astype(np.uint8)
+        name = f"img_{i}.png"
+        cv2.imwrite(str(d / name), im)
+        names.append(name)
+
+    store_path = tmp_path / "f.h5"
+    with FeatureStore(store_path, "w") as fs:
+        n = small_extractor.extract_to_store(d, names, fs)
+        assert n == 3
+        # resume: nothing to do
+        n = small_extractor.extract_to_store(d, names, fs)
+        assert n == 0
+        f = fs.read(names[0])
+        # keypoints rescaled to original resolution (200x150 > resize_max 128
+        # → stored coords exceed the resized grid)
+        assert f.image_size.tolist() == [200, 150]
+        assert np.all(f.keypoints[:, 0] <= 200)
+
+
+def test_conf_registry():
+    assert EXTRACTION_CONFS["sfd2-n4096-r1600"].max_keypoints == 4096
+    assert EXTRACTION_CONFS["sfd2-n4096-r1024"].resize_max == 1024
+    assert len(EXTRACTION_CONFS["sfd2-n4096-r1600-ms"].scales) == 3
+
+
+def test_normalize_image():
+    img = np.ones((4, 4, 3), np.float32)
+    out = normalize_image(img)
+    np.testing.assert_allclose(
+        out[0, 0], (1 - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225]),
+        rtol=1e-5,
+    )
