@@ -1,0 +1,288 @@
+"""SFD2 multi-task training losses (JAX, statically shaped).
+
+Capability parity: ``nets/losses.py`` (SegLoss) + ``nets/reliability_loss.py``
+(ReliabilityLoss / PixelAPLoss). Terms, with shipped-config weights
+(``configs/config_train_sfd2.json``):
+
+* det_loss  — CE between the student's 65-ch normalised ``semi`` map and
+  the SuperPoint teacher's (det_loss='ce', ``nets/losses.py:323-325``);
+  'l1'/'bce' full-res variants with the ≥score_th weight map are also
+  provided. NOTE: the reference 'ce' branch multiplies the teacher's
+  64-ch map against the student's 65-ch map, which cannot broadcast; we
+  use the well-defined 65-ch × 65-ch cross-entropy.
+* desc_loss — ReliabilityLoss: 1 − AP·rel − (1−rel)·base over NghSampler2DS
+  rows (``nets/reliability_loss.py:62-68``, base 0.5).
+* seg_det_loss — stability-head supervision: 3-class CE vs the
+  seg-confidence classes (seg_cls path, ``nets/losses.py:417-423``;
+  applied to the softmaxed stability output exactly as the reference
+  does), or BCE for the V1 sigmoid head.
+* seg_feat_loss — L1 feature consistency vs the ConvNeXt teacher
+  (``sem_feat_consistecny_loss:293``), nearest-resize to teacher dims.
+* seg_desc_loss — inter/intra-class two-margin descriptor loss over the
+  top-2k-scoring pixels ('2mf' = with self-pairs,
+  ``sem_desc_loss_wap_ds_two_margin:155``). Static top-k per image half
+  replaces the reference's global threshold (same 1000·B budget/half).
+  The reference downscales pixel positions by scaling_steps = H//h (=4,
+  i.e. ÷16) which collapses samples into the map's corner; we use
+  log2(H//h) (=2, the true full→desc scale).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sfd2_tpu.training.ap_loss import compute_ap
+from sfd2_tpu.training.sampler import NghSampler2DS, downscale_positions
+
+
+def _masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
+    m = mask.astype(x.dtype)
+    return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Descriptor loss (ReliabilityLoss)
+# ---------------------------------------------------------------------------
+
+
+def reliability_loss(
+    key: jax.Array,
+    desc1: jax.Array,
+    desc2: jax.Array,
+    rel1: jax.Array,
+    rel2: jax.Array,
+    aflow: jax.Array,
+    sampler: NghSampler2DS,
+    base: float = 0.5,
+    nq: int = 20,
+) -> jax.Array:
+    """1 − AP·rel − (1−rel)·base, averaged over valid query pixels."""
+    s = sampler(key, desc1, desc2, rel1, rel2, aflow)
+    ap = compute_ap(s.scores, s.gt, weights=s.col_weights, nq=nq)
+    loss = 1.0 - ap * s.qconf - (1.0 - s.qconf) * base
+    return _masked_mean(loss, s.mask)
+
+
+# ---------------------------------------------------------------------------
+# Master SegLoss
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SegLossConfig:
+    det_loss: str = "ce"  # ce | l1 | bce
+    seg_desc_loss_fn: str = "2mf"  # 2mf | 2m | wap
+    use_pred_score_desc: bool = True
+    seg_det: bool = True
+    seg_cls: bool = True
+    seg_desc: bool = True
+    seg_feat: bool = True
+    margin: float = 1.0
+    base: float = 0.5
+    nq: int = 20
+    topk_per_half: int = 1000  # ×B pixels enter the seg_desc loss
+    w_det: float = 1.0
+    w_desc: float = 1.0
+    w_seg_det: float = 1.0
+    w_seg_desc: float = 1.0
+    w_seg_feat: float = 0.5
+
+
+class SegLossInputs(NamedTuple):
+    """Everything the loss consumes; first-half = image1, second = image2
+    (the model concatenates pairs along batch, ``nets/sfd2.py:405``)."""
+
+    semi: jax.Array  # [2B, hc, wc, 65] student normalised semi
+    gt_semi: jax.Array  # [2B, hc, wc, 65] SuperPoint normalised semi
+    score: jax.Array  # [2B, H, W] student score (stability-folded)
+    gt_score: jax.Array  # [2B, H, W] SuperPoint score
+    desc: jax.Array  # [2B, h, w, D]
+    aflow: jax.Array  # [B, H, W, 2] img1→img2 flow (NaN = invalid)
+    weight: jax.Array  # [2B, H, W] det-weight map (≥th → det_weight)
+    seg_confidence: Optional[jax.Array] = None  # [2B, H, W] ∈ {0.1,0.5,1.0}
+    seg_mask: Optional[jax.Array] = None  # [2B, H, W] bool
+    seg: Optional[jax.Array] = None  # [2B, H, W] ADE class map (int)
+    stability: Optional[jax.Array] = None  # [2B, H, W, 3] softmaxed logits
+    pred_feats: Tuple[jax.Array, ...] = ()
+    gt_feats: Tuple[jax.Array, ...] = ()
+
+
+def _det_loss(cfg: SegLossConfig, inp: SegLossInputs) -> jax.Array:
+    if cfg.det_loss == "ce":
+        ce = -jnp.sum(inp.gt_semi * jnp.log(jnp.maximum(inp.semi, 1e-12)), axis=-1)
+        return jnp.mean(ce)
+    if cfg.det_loss == "l1":
+        return jnp.mean(jnp.abs(inp.score - inp.gt_score) * inp.weight)
+    if cfg.det_loss == "bce":
+        p = jnp.clip(inp.score, 1e-6, 1 - 1e-6)
+        bce = -(inp.gt_score * jnp.log(p) + (1 - inp.gt_score) * jnp.log(1 - p))
+        return jnp.mean(bce * inp.weight)
+    raise ValueError(cfg.det_loss)
+
+
+def _seg_det_loss(cfg: SegLossConfig, inp: SegLossInputs) -> jax.Array:
+    from sfd2_tpu.training.semantics import confidence_to_class
+
+    if cfg.seg_cls:
+        # Reference applies CrossEntropyLoss to the *softmaxed* stability
+        # map (V2 det_train softmaxes before returning) — reproduce that.
+        logp = jnp.log(jnp.maximum(jax.nn.softmax(inp.stability, axis=-1), 1e-12))
+        cls = confidence_to_class(inp.seg_confidence)
+        ce = -jnp.take_along_axis(logp, cls[..., None], axis=-1)[..., 0]
+        return jnp.mean(ce)
+    # V1 path: BCE between sigmoid stability and the confidence map.
+    p = jnp.clip(inp.stability[..., 0], 1e-6, 1 - 1e-6)
+    bce = -(
+        inp.seg_confidence * jnp.log(p) + (1 - inp.seg_confidence) * jnp.log(1 - p)
+    )
+    return _masked_mean(bce, inp.seg_mask)
+
+
+def _seg_feat_loss(inp: SegLossInputs) -> jax.Array:
+    total = 0.0
+    for pfeat, gfeat in zip(inp.pred_feats, inp.gt_feats):
+        if pfeat.shape[1:3] != gfeat.shape[1:3]:
+            # Reference F.interpolate default = nearest.
+            ratio_h = pfeat.shape[1] // gfeat.shape[1]
+            ratio_w = pfeat.shape[2] // gfeat.shape[2]
+            if ratio_h >= 1 and ratio_w >= 1:
+                pfeat = pfeat[:, ::ratio_h, ::ratio_w]
+            else:
+                pfeat = jnp.repeat(
+                    jnp.repeat(pfeat, gfeat.shape[1] // pfeat.shape[1], 1),
+                    gfeat.shape[2] // pfeat.shape[2],
+                    2,
+                )
+        total = total + jnp.mean(jnp.abs(pfeat - gfeat))
+    return total / max(len(inp.pred_feats), 1)
+
+
+def _select_topk_pixels(scores: jax.Array, k: int):
+    """Top-k scoring pixels per image-half batch: returns (b, y, x) index
+    arrays of static length k·half plus the scores."""
+    half, h, w = scores.shape
+    flat = scores.reshape(half, h * w)
+    vals, idx = jax.lax.top_k(flat, k)  # per image → static
+    ys = idx // w
+    xs = idx % w
+    bs = jnp.broadcast_to(jnp.arange(half)[:, None], ys.shape)
+    return (
+        bs.reshape(-1),
+        ys.reshape(-1),
+        xs.reshape(-1),
+        vals.reshape(-1),
+    )
+
+
+def _seg_desc_loss(cfg: SegLossConfig, inp: SegLossInputs) -> jax.Array:
+    two_b, hf, wf = inp.gt_score.shape
+    b = two_b // 2
+    h = inp.desc.shape[1]
+    scale_steps = max((hf // h).bit_length() - 1, 0)  # log2 of full/desc ratio
+    k = cfg.topk_per_half
+
+    def half(scores, descs, segs, masks):
+        bs, ys, xs, vals = _select_topk_pixels(scores, k)
+        w_pix = jnp.clip(jnp.clip(vals, 5e-4, 1.0) * 2.0 + 0.5, 5e-4, 1.0)
+        w_pix = w_pix * masks[bs, ys, xs].astype(w_pix.dtype)
+        seg = segs[bs, ys, xs]
+        yd = jnp.clip(
+            jnp.floor(downscale_positions(ys.astype(jnp.float32), scale_steps)),
+            0, h - 1,
+        ).astype(jnp.int32)
+        xd = jnp.clip(
+            jnp.floor(downscale_positions(xs.astype(jnp.float32), scale_steps)),
+            0, inp.desc.shape[2] - 1,
+        ).astype(jnp.int32)
+        d = descs[bs, yd, xd]
+        return d, seg, w_pix
+
+    d1, s1, w1 = half(inp.gt_score[:b], inp.desc[:b], inp.seg[:b], inp.seg_mask[:b])
+    d2, s2, w2 = half(inp.gt_score[b:], inp.desc[b:], inp.seg[b:], inp.seg_mask[b:])
+
+    def cross_dist(da, db, wa, wb, sa, sb):
+        dist = 2.0 - 2.0 * jnp.einsum(
+            "md,nd->mn", da, db, preferred_element_type=jnp.float32
+        )
+        same = (sa[:, None] == sb[None, :])
+        wpair = wa[:, None] * wb[None, :]
+        valid = wpair > 0
+        pos = same & valid
+        neg = (~same) & valid
+        pos_term = jax.nn.relu(dist - cfg.margin) * wpair
+        neg_term = jax.nn.relu(cfg.margin - dist) * wpair
+        return _masked_mean(pos_term, pos) + _masked_mean(neg_term, neg)
+
+    d12 = cross_dist(d1, d2, w1, w2, s1, s2)
+    if cfg.seg_desc_loss_fn == "2mf":
+        d11 = cross_dist(d1, d1, w1, w1, s1, s1)
+        d22 = cross_dist(d2, d2, w2, w2, s2, s2)
+        return (d12 + d11 + d22) / 3.0
+    if cfg.seg_desc_loss_fn == "wap":
+        # Single-margin variant (``sem_desc_loss_wap_ds:80``):
+        # margin + mean(pos·w) − mean(neg·w) with raw distances.
+        def wap(da, db, wa, wb, sa, sb):
+            dist = 2.0 - 2.0 * da @ db.T
+            same = sa[:, None] == sb[None, :]
+            wpair = wa[:, None] * wb[None, :]
+            valid = wpair > 0
+            pos = _masked_mean(dist * wpair, same & valid)
+            neg = _masked_mean(dist * wpair, (~same) & valid)
+            return cfg.margin + pos - neg
+
+        return wap(d1, d2, w1, w2, s1, s2)
+    return d12  # '2m'
+
+
+def seg_loss(
+    key: jax.Array,
+    inp: SegLossInputs,
+    sampler: NghSampler2DS,
+    cfg: SegLossConfig = SegLossConfig(),
+) -> Dict[str, jax.Array]:
+    """Full multi-task loss; returns {'loss': total, per-term entries}."""
+    b = inp.desc.shape[0] // 2
+    d: Dict[str, jax.Array] = {}
+
+    det = _det_loss(cfg, inp)
+    d["det_loss"] = det
+    total = det * cfg.w_det
+
+    # Reliability map fed to the AP loss (``nets/losses.py:340-346``).
+    rel_src = inp.score if cfg.use_pred_score_desc else inp.gt_score
+    rel = jnp.clip(jnp.clip(rel_src, 5e-4, 1.0) * 4.0 + 0.5, 5e-4, 1.0)
+    desc = reliability_loss(
+        key,
+        inp.desc[:b],
+        inp.desc[b:],
+        rel[:b],
+        rel[b:],
+        inp.aflow,
+        sampler,
+        base=cfg.base,
+        nq=cfg.nq,
+    )
+    d["unsup_desc_loss"] = desc
+    total = total + desc * cfg.w_desc
+
+    if cfg.seg_det and inp.stability is not None:
+        sdl = _seg_det_loss(cfg, inp)
+        d["seg_det_loss"] = sdl
+        total = total + sdl * cfg.w_seg_det
+
+    if cfg.seg_feat and inp.pred_feats:
+        sfl = _seg_feat_loss(inp)
+        d["seg_feat_loss"] = sfl
+        total = total + sfl * cfg.w_seg_feat
+
+    if cfg.seg_desc and inp.seg is not None:
+        sdsc = _seg_desc_loss(cfg, inp)
+        d["seg_desc_loss"] = sdsc
+        total = total + sdsc * cfg.w_seg_desc
+
+    d["loss"] = total
+    return d
