@@ -1,0 +1,70 @@
+"""Pallas fused matcher vs the XLA reference path (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sfd2_tpu.ops.matching import mutual_nn_match_batch
+from sfd2_tpu.ops.pallas_match import mutual_nn_match_pallas, nn_argmax_pallas
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def unit(rng, *shape):
+    d = rng.normal(size=shape).astype(np.float32)
+    return d / np.linalg.norm(d, axis=-1, keepdims=True)
+
+
+@pytest.mark.parametrize("b,n1,n2", [(1, 128, 128), (2, 128, 256)])
+def test_pallas_matches_xla(rng, b, n1, n2):
+    d0 = unit(rng, b, n1, 32)
+    d1 = unit(rng, b, n2, 32)
+    v0 = np.ones((b, n1), bool)
+    v1 = np.ones((b, n2), bool)
+    m_ref, s_ref = mutual_nn_match_batch(
+        jnp.array(d0), jnp.array(d1), jnp.array(v0), jnp.array(v1)
+    )
+    m_pal, s_pal = mutual_nn_match_pallas(
+        jnp.array(d0), jnp.array(d1), jnp.array(v0), jnp.array(v1),
+        block_m=64, block_n=64, interpret=INTERPRET,
+    )
+    np.testing.assert_array_equal(np.array(m_pal), np.array(m_ref))
+    np.testing.assert_allclose(np.array(s_pal), np.array(s_ref), atol=1e-5)
+
+
+def test_pallas_respects_validity(rng):
+    b, n = 1, 128
+    d0 = unit(rng, b, n, 16)
+    v0 = np.ones((b, n), bool)
+    v0[:, 100:] = False
+    v1 = np.ones((b, n), bool)
+    v1[:, 64:] = False
+    m_ref, _ = mutual_nn_match_batch(
+        jnp.array(d0), jnp.array(d0), jnp.array(v0), jnp.array(v1)
+    )
+    m_pal, _ = mutual_nn_match_pallas(
+        jnp.array(d0), jnp.array(d0), jnp.array(v0), jnp.array(v1),
+        block_m=64, block_n=64, interpret=INTERPRET,
+    )
+    np.testing.assert_array_equal(np.array(m_pal), np.array(m_ref))
+    assert np.all(np.array(m_pal)[:, 100:] == -1)
+    valid_matches = np.array(m_pal)[np.array(m_pal) >= 0]
+    assert np.all(valid_matches < 64)
+
+
+def test_pallas_argmax_multiblock(rng):
+    """Accumulators must survive across multiple I and J tiles."""
+    b, n1, n2, c = 1, 256, 256, 16
+    d0 = unit(rng, b, n1, c)
+    d1 = unit(rng, b, n2, c)
+    v = np.ones((b, n1), bool)
+    rmax, nn12, cmax, nn21 = nn_argmax_pallas(
+        jnp.array(d0), jnp.array(d1), jnp.array(v), jnp.array(v),
+        block_m=64, block_n=64, interpret=INTERPRET,
+    )
+    sim = np.einsum("bnc,bmc->bnm", d0, d1)
+    np.testing.assert_array_equal(np.array(nn12), sim.argmax(2))
+    np.testing.assert_array_equal(np.array(nn21), sim.argmax(1))
+    np.testing.assert_allclose(np.array(rmax), sim.max(2), atol=1e-5)
+    np.testing.assert_allclose(np.array(cmax), sim.max(1), atol=1e-5)
