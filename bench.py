@@ -10,30 +10,33 @@ candidate DB frames, K=4096, C=128). The reference publishes no speed
 numbers (BASELINE.md → published: {}), so vs_baseline is 1.0 by
 definition until a measured reference wall-clock exists.
 
-Timing notes: every iteration is fenced by a small host transfer
-(np.asarray of a [K] vector) — on the experimental axon platform
-block_until_ready alone under-measures. The median over iterations is
-reported to shed tunnel hiccups.
+Timing method: the sandbox TPU is reached through a high-latency relay
+(~50-100 ms RPC round-trip), so per-call host timing measures the
+tunnel, not the chip. Each stage therefore runs R iterations *inside one
+jitted lax.scan* (inputs generated on device) and returns a scalar; the
+single round-trip is amortised over R.
 """
 
 from __future__ import annotations
 
 import json
-import statistics
 import time
 import traceback
 
 import numpy as np
 
+REPS = 16
 
-def _timed(fn, fence, iters):
+
+def _time_scanned(jitted, *args):
+    """Median of 3 runs of an R-rep scanned program; returns secs/rep."""
+    np.asarray(jitted(0, *args))  # compile + warm
     ts = []
-    for _ in range(iters):
+    for t in range(3):
         t0 = time.perf_counter()
-        out = fn()
-        fence(out)
+        np.asarray(jitted(t + 1, *args))
         ts.append(time.perf_counter() - t0)
-    return statistics.median(ts)
+    return sorted(ts)[1] / REPS
 
 
 def run_bench():
@@ -42,53 +45,62 @@ def run_bench():
 
     from sfd2_tpu.models.sfd2 import ResSegNetV2
     from sfd2_tpu.ops.extract import extract_keypoints
-    from sfd2_tpu.ops.matching import mutual_nn_match_batch
+    from sfd2_tpu.ops.matching import mutual_nn_match
+    from sfd2_tpu.ops.pallas_match import mutual_nn_match_pallas
 
     platform = jax.devices()[0].platform
 
     h = w = 1024
     k = 4096
+    c = 128
     n_db = 50  # candidate DB frames per query (test_aachenv_1_1 NetVLAD top-50)
-    chunk = 10  # matching pairs per launch (bounds the K×K sim memory)
+    chunk = 10  # pairs per matching launch
 
     model = ResSegNetV2(require_stability=True)
-    images = jnp.zeros((1, h, w, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), images)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32))
 
     @jax.jit
-    def extract(v, im):
-        out = model.apply(v, im)
-        return extract_keypoints(
-            out.score, out.descriptors, out.stability,
-            max_keypoints=k, conf_threshold=0.001,
-        )
+    def extract_scan(seed, variables):
+        def body(carry, i):
+            img = jax.random.normal(
+                jax.random.fold_in(jax.random.PRNGKey(seed), i), (1, h, w, 3)
+            )
+            out = model.apply(variables, img)
+            kp = extract_keypoints(
+                out.score, out.descriptors, out.stability,
+                max_keypoints=k, conf_threshold=0.001,
+            )
+            return carry + jnp.sum(kp.scores), None
 
-    rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.normal(size=(1, h, w, 3)).astype(np.float32))
+        tot, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(REPS))
+        return tot
 
-    kp = extract(variables, img)
-    np.asarray(kp.scores)  # warm-up + compile
+    t_extract = _time_scanned(extract_scan, variables)
 
-    iters = 5 if platform == "tpu" else 2
-    t_extract = _timed(
-        lambda: extract(variables, img), lambda o: np.asarray(o.scores), iters
-    )
+    def match_scan_fn(match):
+        @jax.jit
+        def run(seed):
+            key = jax.random.PRNGKey(seed)
 
-    qd = rng.normal(size=(chunk, k, 128)).astype(np.float32)
-    dd = rng.normal(size=(chunk, k, 128)).astype(np.float32)
-    qd /= np.linalg.norm(qd, axis=-1, keepdims=True)
-    dd /= np.linalg.norm(dd, axis=-1, keepdims=True)
-    qv = np.ones((chunk, k), bool)
-    qdj, ddj, qvj = jnp.asarray(qd), jnp.asarray(dd), jnp.asarray(qv)
+            def mk(i):
+                d = jax.random.normal(jax.random.fold_in(key, i), (chunk, k, c))
+                return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
-    m, _ = mutual_nn_match_batch(qdj, ddj, qvj, qvj)
-    np.asarray(m[:, :4])  # warm-up
+            def body(carry, i):
+                m, _ = match(mk(2 * i), mk(2 * i + 1))
+                return carry + jnp.sum(m), None
 
-    t_chunk = _timed(
-        lambda: mutual_nn_match_batch(qdj, ddj, qvj, qvj)[0],
-        lambda o: np.asarray(o[:, :4]),
-        iters,
-    )
+            tot, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(REPS))
+            return tot
+
+        return run
+
+    use_pallas = platform == "tpu"
+    if use_pallas:
+        match = lambda a, b: mutual_nn_match_pallas(a, b, None, None)
+    else:
+        match = lambda a, b: jax.vmap(lambda x, y: mutual_nn_match(x, y, None, None))(a, b)
+    t_chunk = _time_scanned(match_scan_fn(match))
     t_match = t_chunk * (n_db / chunk)
 
     frame_time = t_extract + t_match
@@ -100,6 +112,7 @@ def run_bench():
         "platform": platform,
         "extract_ms": round(t_extract * 1e3, 2),
         "match50_ms": round(t_match * 1e3, 2),
+        "matcher": "pallas" if use_pallas else "xla",
     }
 
 

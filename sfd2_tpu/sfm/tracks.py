@@ -1,0 +1,91 @@
+"""Feature-track building from verified pairwise matches (host, numpy DSU).
+
+Capability parity: the track-building stage inside COLMAP's
+``point_triangulator`` (``hloc/triangulation.py:129-147``) — chaining
+verified two-view matches into multi-view tracks. Union-find with path
+halving over (image, keypoint) observation nodes; tracks observing the
+same image twice are split (the conflicting later observation is
+dropped, mirroring COLMAP's conflict handling).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+
+class UnionFind:
+    def __init__(self, n: int):
+        self.parent = np.arange(n, dtype=np.int64)
+
+    def find(self, i: int) -> int:
+        p = self.parent
+        while p[i] != i:
+            p[i] = p[p[i]]  # path halving
+            i = p[i]
+        return i
+
+    def union(self, a: int, b: int):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[rb] = ra
+
+
+def build_tracks(
+    num_keypoints: Dict[int, int],
+    verified_matches: Sequence[Tuple[int, int, np.ndarray]],
+    min_track_length: int = 2,
+) -> List[List[Tuple[int, int]]]:
+    """Chain matches into tracks.
+
+    Args:
+      num_keypoints: image_id → #keypoints.
+      verified_matches: (image_id0, image_id1, matches [M, 2] kp-index
+        pairs) per verified image pair.
+      min_track_length: minimum observations to keep a track.
+
+    Returns list of tracks, each a list of (image_id, kp_idx), with at
+    most one observation per image (first by union order wins).
+    """
+    image_ids = sorted(num_keypoints.keys())
+    offsets = {}
+    total = 0
+    for iid in image_ids:
+        offsets[iid] = total
+        total += num_keypoints[iid]
+
+    dsu = UnionFind(total)
+    for id0, id1, matches in verified_matches:
+        if len(matches) == 0:
+            continue
+        o0, o1 = offsets[id0], offsets[id1]
+        for i0, i1 in np.asarray(matches, np.int64):
+            dsu.union(o0 + int(i0), o1 + int(i1))
+
+    # Gather components.
+    roots = np.array([dsu.find(i) for i in range(total)], np.int64)
+    order = np.argsort(roots, kind="stable")
+    sorted_roots = roots[order]
+    boundaries = np.nonzero(np.diff(sorted_roots))[0] + 1
+    groups = np.split(order, boundaries)
+
+    # Reverse offset lookup.
+    bounds = np.array([offsets[iid] for iid in image_ids] + [total])
+
+    tracks: List[List[Tuple[int, int]]] = []
+    for g in groups:
+        if len(g) < min_track_length:
+            continue
+        obs: List[Tuple[int, int]] = []
+        seen_imgs = set()
+        for node in np.sort(g):
+            img_pos = int(np.searchsorted(bounds, node, side="right") - 1)
+            iid = image_ids[img_pos]
+            if iid in seen_imgs:
+                continue  # conflicting second observation in same image
+            seen_imgs.add(iid)
+            obs.append((iid, int(node - bounds[img_pos])))
+        if len(obs) >= min_track_length:
+            tracks.append(obs)
+    return tracks
