@@ -1,0 +1,271 @@
+"""Bundle adjustment: Schur-complement LM with matrix-free PCG (JAX).
+
+Capability parity: the Ceres solves inside COLMAP that the reference
+delegates to — point-only refinement inside ``point_triangulator``
+(poses fixed, ``hloc/triangulation.py:140-142``) and the full BA of
+``colmap mapper`` (``hloc/reconstruction.py:66-83``) — plus the
+north-star requirement (BASELINE.json): a *sharded* reduced-camera-system
+BA that scales over a device mesh.
+
+TPU-native design (SURVEY §7.1):
+* observations are flat padded arrays (xy, cam-idx, point-idx, weight);
+  every per-entity reduction is a ``segment_sum`` — under pjit with the
+  observation axis sharded across the mesh these compile to psum-style
+  collectives automatically, which IS the distributed Schur assembly.
+* the normal equations are never materialised: the Schur complement
+  S = Hcc − Hcp·Hpp⁻¹·Hpc is applied matrix-free inside preconditioned
+  CG (block-Jacobi preconditioner from the damped Hcc diagonal blocks);
+  wall-clock per iteration is a handful of [O]-length fused elementwise
+  passes + tiny [C,6] solves.
+* Huber robust weights; LM damping with accept/reject on true cost.
+* Jacobians come from vmapped jacfwd of the single-observation residual
+  (XLA fuses the 2×9 chain rule into the data pass).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sfd2_tpu.geometry.cameras import _distort
+from sfd2_tpu.geometry.rotations import qvec_to_rotmat, rotmat_to_qvec
+from sfd2_tpu.localization.pnp import _axis_angle_to_rotmat
+
+
+class BAProblem(NamedTuple):
+    """Static-shape BA instance. Padded observations have weight 0."""
+
+    obs_xy: jax.Array  # [O, 2] pixel observations
+    obs_cam: jax.Array  # [O] int32 camera index
+    obs_point: jax.Array  # [O] int32 point index
+    obs_w: jax.Array  # [O] weight (0 = padding)
+    qvecs: jax.Array  # [C, 4] initial poses (world→cam)
+    tvecs: jax.Array  # [C, 3]
+    cam_params: jax.Array  # [C, 8] canonical intrinsics (fixed)
+    points: jax.Array  # [P, 3] initial points
+    fixed_cams: jax.Array  # [C] bool — poses to keep fixed (gauge/anchors)
+
+
+class BAResult(NamedTuple):
+    qvecs: jax.Array
+    tvecs: jax.Array
+    points: jax.Array
+    initial_cost: jax.Array
+    final_cost: jax.Array
+
+
+def _project_one(cam6, rot0, tvec0, point, cam_params):
+    """Pixel projection with a local (rotvec, dt) pose perturbation."""
+    rot = _axis_angle_to_rotmat(cam6[:3]) @ rot0
+    t = tvec0 + cam6[3:]
+    pc = rot @ point + t
+    z = jnp.where(jnp.abs(pc[2]) < 1e-8, 1e-8, pc[2])
+    xn, yn = pc[0] / z, pc[1] / z
+    xd, yd = _distort(xn, yn, cam_params)
+    return jnp.stack(
+        [cam_params[0] * xd + cam_params[2], cam_params[1] * yd + cam_params[3]]
+    )
+
+
+def _residual_one(cam6, dpoint, rot0, tvec0, point0, cam_params, xy):
+    return _project_one(cam6, rot0, tvec0, point0 + dpoint, cam_params) - xy
+
+
+def _huber_weight(r2, delta):
+    """Sqrt-scaled IRLS weight for the Huber kernel."""
+    r = jnp.sqrt(jnp.maximum(r2, 1e-12))
+    return jnp.where(r <= delta, 1.0, delta / r)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lm_iters", "cg_iters", "optimize_points")
+)
+def bundle_adjust(
+    problem: BAProblem,
+    lm_iters: int = 10,
+    cg_iters: int = 20,
+    huber_delta: float = 4.0,
+    init_lambda: float = 1e-4,
+    optimize_points: bool = True,
+) -> BAResult:
+    """Run LM with Schur-complement PCG steps. Returns updated poses,
+    points and costs. All shapes static; jit-compiled once per size."""
+    obs_xy = problem.obs_xy
+    obs_cam = problem.obs_cam
+    obs_point = problem.obs_point
+    base_w = problem.obs_w
+    cam_params_all = problem.cam_params
+    n_cam = problem.qvecs.shape[0]
+    n_pt = problem.points.shape[0]
+
+    free_cam = (~problem.fixed_cams).astype(jnp.float32)[:, None]  # [C, 1]
+
+    def unpack(qvecs, tvecs, points):
+        rot0 = qvec_to_rotmat(qvecs)
+        return rot0, tvecs, points
+
+    def cost_of(rot0, tvecs, points):
+        def res(o_xy, o_c, o_p):
+            return _residual_one(
+                jnp.zeros(6), jnp.zeros(3), rot0[o_c], tvecs[o_c],
+                points[o_p], cam_params_all[o_c], o_xy,
+            )
+
+        r = jax.vmap(res)(obs_xy, obs_cam, obs_point)  # [O, 2]
+        r2 = jnp.sum(r * r, axis=1)
+        hw = _huber_weight(r2, huber_delta)
+        # Huber cost (integrated form).
+        rr = jnp.sqrt(jnp.maximum(r2, 1e-12))
+        c = jnp.where(
+            rr <= huber_delta, 0.5 * r2, huber_delta * (rr - 0.5 * huber_delta)
+        )
+        return jnp.sum(c * base_w), hw
+
+    def gn_step(rot0, tvecs, points, lam):
+        """One damped GN step via Schur PCG. Returns (dcam [C,6], dpt [P,3])."""
+
+        def jac_res(o_xy, o_c, o_p):
+            f = lambda c6, dp: _residual_one(
+                c6, dp, rot0[o_c], tvecs[o_c], points[o_p],
+                cam_params_all[o_c], o_xy,
+            )
+            r = f(jnp.zeros(6), jnp.zeros(3))
+            jc, jp = jax.jacfwd(f, argnums=(0, 1))(jnp.zeros(6), jnp.zeros(3))
+            return r, jc, jp  # [2], [2,6], [2,3]
+
+        r, jc, jp = jax.vmap(jac_res)(obs_xy, obs_cam, obs_point)
+        r2 = jnp.sum(r * r, axis=1)
+        w = base_w * _huber_weight(r2, huber_delta)  # IRLS weights [O]
+        # Zero camera Jacobians of fixed cameras.
+        jc = jc * free_cam[obs_cam][:, None, :]
+        if not optimize_points:
+            jp = jp * 0.0
+
+        wj = w[:, None, None]
+        hcc = jax.ops.segment_sum(
+            jnp.einsum("oij,oik->ojk", jc * wj, jc), obs_cam, n_cam
+        )  # [C,6,6]
+        hpp = jax.ops.segment_sum(
+            jnp.einsum("oij,oik->ojk", jp * wj, jp), obs_point, n_pt
+        )  # [P,3,3]
+        bc = jax.ops.segment_sum(
+            jnp.einsum("oij,oi->oj", jc, r * w[:, None]), obs_cam, n_cam
+        )  # [C,6]
+        bp = jax.ops.segment_sum(
+            jnp.einsum("oij,oi->oj", jp, r * w[:, None]), obs_point, n_pt
+        )  # [P,3]
+
+        eye6 = jnp.eye(6)
+        eye3 = jnp.eye(3)
+        # Damping: multiplicative λ·diag (Marquardt) on both blocks.
+        hcc_d = hcc + (lam * jnp.maximum(jnp.einsum("cii->ci", hcc), 1e-6))[
+            :, :, None
+        ] * eye6[None]
+        hpp_d = hpp + (lam * jnp.maximum(jnp.einsum("pii->pi", hpp), 1e-6))[
+            :, :, None
+        ] * eye3[None]
+        hpp_inv = jnp.linalg.inv(hpp_d + 1e-9 * eye3[None])  # [P,3,3]
+
+        # Schur RHS: b̃_c = b_c − Hcp · Hpp⁻¹ · b_p (obs-wise).
+        hpp_inv_bp = jnp.einsum("pjk,pk->pj", hpp_inv, bp)  # [P,3]
+
+        def hcp_apply(vp):  # [P,3] → [C,6]: Σ_o w Jcᵀ Jp v_p(o)
+            contrib = jnp.einsum(
+                "oij,oik,ok->oj", jc * wj, jp, vp[obs_point]
+            )
+            return jax.ops.segment_sum(contrib, obs_cam, n_cam)
+
+        def hpc_apply(vc):  # [C,6] → [P,3]
+            contrib = jnp.einsum(
+                "oik,oij,oj->ok", jp * wj, jc, vc[obs_cam]
+            )
+            return jax.ops.segment_sum(contrib, obs_point, n_pt)
+
+        rhs = bc - hcp_apply(hpp_inv_bp)  # [C,6]
+
+        def s_apply(vc):  # S·v matrix-free
+            hcc_v = jnp.einsum("cjk,ck->cj", hcc_d, vc)
+            tmp = hpc_apply(vc)  # [P,3]
+            tmp = jnp.einsum("pjk,pk->pj", hpp_inv, tmp)
+            return hcc_v - hcp_apply(tmp)
+
+        # Block-Jacobi preconditioner.
+        m_inv = jnp.linalg.inv(hcc_d + 1e-9 * eye6[None])  # [C,6,6]
+
+        def prec(vc):
+            return jnp.einsum("cjk,ck->cj", m_inv, vc)
+
+        # PCG on S x = rhs.
+        x = jnp.zeros_like(rhs)
+        rvec = rhs - s_apply(x)
+        z = prec(rvec)
+        p = z
+        rz = jnp.sum(rvec * z)
+
+        def cg_body(carry, _):
+            x, rvec, p, rz = carry
+            sp = s_apply(p)
+            denom = jnp.sum(p * sp)
+            alpha = rz / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+            x = x + alpha * p
+            rvec = rvec - alpha * sp
+            z = prec(rvec)
+            rz_new = jnp.sum(rvec * z)
+            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-12, 1e-12, rz)
+            p = z + beta * p
+            return (x, rvec, p, rz_new), None
+
+        (x, _, _, _), _ = jax.lax.scan(
+            cg_body, (x, rvec, p, rz), None, length=cg_iters
+        )
+        dcam = -x * free_cam  # GN solves J d = −r with our sign convention
+        # Back-substitute points: d_p = −Hpp⁻¹ (b_p + Hpc d_c).
+        dpt = -jnp.einsum("pjk,pk->pj", hpp_inv, bp + hpc_apply(dcam))
+        if not optimize_points:
+            dpt = dpt * 0.0
+        return dcam, dpt
+
+    def apply_update(rot0, tvecs, points, dcam, dpt):
+        rot_new = jax.vmap(lambda d, r: _axis_angle_to_rotmat(d) @ r)(
+            dcam[:, :3], rot0
+        )
+        return rot_new, tvecs + dcam[:, 3:], points + dpt
+
+    rot0, tvecs, points = unpack(problem.qvecs, problem.tvecs, problem.points)
+    cost0, _ = cost_of(rot0, tvecs, points)
+
+    def lm_body(carry, _):
+        rot0, tvecs, points, lam, cost = carry
+        dcam, dpt = gn_step(rot0, tvecs, points, lam)
+        rot_n, tvec_n, pts_n = apply_update(rot0, tvecs, points, dcam, dpt)
+        new_cost, _ = cost_of(rot_n, tvec_n, pts_n)
+        finite = (
+            jnp.isfinite(new_cost)
+            & jnp.all(jnp.isfinite(rot_n))
+            & jnp.all(jnp.isfinite(pts_n))
+        )
+        accept = finite & (new_cost < cost)
+        rot0 = jnp.where(accept, rot_n, rot0)
+        tvecs = jnp.where(accept, tvec_n, tvecs)
+        points = jnp.where(accept, pts_n, points)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, lam * 0.3, lam * 5.0)
+        return (rot0, tvecs, points, lam, cost), cost
+
+    (rot0, tvecs, points, _, cost), _ = jax.lax.scan(
+        lm_body,
+        (rot0, tvecs, points, jnp.float32(init_lambda), cost0),
+        None,
+        length=lm_iters,
+    )
+    qvecs = rotmat_to_qvec(rot0)
+    return BAResult(
+        qvecs=qvecs,
+        tvecs=tvecs,
+        points=points,
+        initial_cost=cost0,
+        final_cost=cost,
+    )

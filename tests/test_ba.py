@@ -1,0 +1,159 @@
+"""Bundle adjustment: perturbed synthetic scene must re-converge to GT."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.spatial.transform import Rotation
+
+from sfd2_tpu.geometry.cameras import canonicalize_params
+from sfd2_tpu.geometry.np_pose import pose_error
+from sfd2_tpu.localization.engine import _np_project
+from sfd2_tpu.sfm.ba import BAProblem, bundle_adjust
+
+CAM8 = canonicalize_params("PINHOLE", [500.0, 500.0, 320.0, 240.0]).astype(np.float32)
+
+
+def build_problem(rng, n_cams=6, n_pts=120, noise=0.2, perturb=True, n_outliers=0):
+    pts = np.stack(
+        [rng.uniform(-4, 4, n_pts), rng.uniform(-3, 3, n_pts), rng.uniform(8, 14, n_pts)], 1
+    )
+    qs, ts = [], []
+    for i in range(n_cams):
+        r = Rotation.from_rotvec(rng.normal(size=3) * 0.05)
+        q = r.as_quat()[[3, 0, 1, 2]]
+        t = -r.as_matrix() @ np.array([i * 0.8 - 2.0, 0, 0])
+        qs.append(q)
+        ts.append(t)
+    obs_xy, obs_cam, obs_pt = [], [], []
+    for ci in range(n_cams):
+        xy, d = _np_project(pts, qs[ci], ts[ci], CAM8)
+        ok = (d > 0) & (xy[:, 0] > 0) & (xy[:, 0] < 640) & (xy[:, 1] > 0) & (xy[:, 1] < 480)
+        for pi in np.nonzero(ok)[0]:
+            obs_xy.append(xy[pi] + rng.normal(size=2) * noise)
+            obs_cam.append(ci)
+            obs_pt.append(pi)
+    obs_xy = np.array(obs_xy, np.float32)
+    obs_cam = np.array(obs_cam, np.int32)
+    obs_pt = np.array(obs_pt, np.int32)
+    if n_outliers:
+        idx = rng.choice(len(obs_xy), n_outliers, replace=False)
+        obs_xy[idx] += rng.uniform(30, 120, size=(n_outliers, 2))
+
+    q_init = np.array(qs, np.float32)
+    t_init = np.array(ts, np.float32)
+    p_init = pts.astype(np.float32)
+    if perturb:
+        for ci in range(2, n_cams):  # cams 0/1 are fixed gauge anchors
+            dr = Rotation.from_rotvec(rng.normal(size=3) * 0.01)
+            q_init[ci] = (
+                dr * Rotation.from_quat(q_init[ci][[1, 2, 3, 0]])
+            ).as_quat()[[3, 0, 1, 2]]
+            t_init[ci] += rng.normal(size=3) * 0.05
+        p_init = p_init + rng.normal(size=p_init.shape).astype(np.float32) * 0.05
+
+    fixed = np.zeros(n_cams, bool)
+    fixed[0] = True
+    fixed[1] = True  # two anchors pin the gauge (scale + frame)
+    problem = BAProblem(
+        obs_xy=jnp.asarray(obs_xy),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_point=jnp.asarray(obs_pt),
+        obs_w=jnp.ones(len(obs_xy), jnp.float32),
+        qvecs=jnp.asarray(q_init),
+        tvecs=jnp.asarray(t_init),
+        cam_params=jnp.asarray(np.broadcast_to(CAM8, (n_cams, 8))),
+        points=jnp.asarray(p_init),
+        fixed_cams=jnp.asarray(fixed),
+    )
+    return problem, (np.array(qs), np.array(ts), pts)
+
+
+def test_ba_reduces_cost_and_recovers_poses(rng):
+    problem, (q_gt, t_gt, pts_gt) = build_problem(rng)
+    res = bundle_adjust(problem, lm_iters=10, cg_iters=15)
+    assert float(res.final_cost) < float(res.initial_cost) * 0.2, (
+        float(res.initial_cost), float(res.final_cost),
+    )
+    q_out = np.asarray(res.qvecs)
+    t_out = np.asarray(res.tvecs)
+    for ci in range(2, len(q_gt)):
+        qe, te = pose_error(q_out[ci], t_out[ci], q_gt[ci], t_gt[ci])
+        assert qe < 0.2, (ci, qe)
+        assert te < 0.03, (ci, te)
+    # Fixed anchors untouched.
+    np.testing.assert_allclose(t_out[0], np.asarray(problem.tvecs)[0], atol=1e-6)
+
+
+def test_ba_point_only_mode(rng):
+    problem, (q_gt, t_gt, pts_gt) = build_problem(rng, perturb=False)
+    # Perturb only points; optimize_points with all cams fixed.
+    problem = problem._replace(
+        points=problem.points + 0.1,
+        fixed_cams=jnp.ones(len(q_gt), bool),
+    )
+    res = bundle_adjust(problem, lm_iters=15, cg_iters=5)
+    np.testing.assert_allclose(np.asarray(res.qvecs), np.asarray(problem.qvecs), atol=1e-6)
+    # The optimiser reaches a lower cost than the GT configuration (noise
+    # overfit on ~6 obs/point), so compare against the statistical floor.
+    d = np.linalg.norm(np.asarray(res.points) - pts_gt, axis=1)
+    assert np.median(d) < 0.02, np.median(d)
+    assert np.percentile(d, 90) < 0.06
+
+
+def test_ba_robust_to_outliers(rng):
+    problem, (q_gt, t_gt, pts_gt) = build_problem(rng, n_outliers=60)
+    res = bundle_adjust(problem, lm_iters=10, cg_iters=15, huber_delta=2.0)
+    q_out = np.asarray(res.qvecs)
+    t_out = np.asarray(res.tvecs)
+    errs = [pose_error(q_out[ci], t_out[ci], q_gt[ci], t_gt[ci]) for ci in range(2, len(q_gt))]
+    assert max(e[0] for e in errs) < 0.5, errs
+    assert max(e[1] for e in errs) < 0.08, errs
+
+
+def test_ba_sharded_observations(rng):
+    """Observation axis sharded over the CPU mesh — distributed Schur
+    assembly via pjit collectives — must match the replicated result."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sfd2_tpu.parallel.mesh import make_mesh
+
+    problem, _ = build_problem(rng, n_cams=4, n_pts=64)
+    # Pad observations to a multiple of 8 for even sharding.
+    o = problem.obs_xy.shape[0]
+    o_pad = ((o + 7) // 8) * 8
+    pad = o_pad - o
+
+    def pad0(x):
+        return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+
+    problem_p = problem._replace(
+        obs_xy=pad0(problem.obs_xy),
+        obs_cam=pad0(problem.obs_cam),
+        obs_point=pad0(problem.obs_point),
+        obs_w=pad0(problem.obs_w),
+    )
+    res_ref = bundle_adjust(problem_p, lm_iters=3, cg_iters=5)
+
+    mesh = make_mesh(8, ("data",))
+    with mesh:
+        shard = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        problem_s = problem_p._replace(
+            obs_xy=jax.device_put(problem_p.obs_xy, shard),
+            obs_cam=jax.device_put(problem_p.obs_cam, shard),
+            obs_point=jax.device_put(problem_p.obs_point, shard),
+            obs_w=jax.device_put(problem_p.obs_w, shard),
+            qvecs=jax.device_put(problem_p.qvecs, repl),
+            tvecs=jax.device_put(problem_p.tvecs, repl),
+            cam_params=jax.device_put(problem_p.cam_params, repl),
+            points=jax.device_put(problem_p.points, repl),
+            fixed_cams=jax.device_put(problem_p.fixed_cams, repl),
+        )
+        res_sharded = bundle_adjust(problem_s, lm_iters=3, cg_iters=5)
+    np.testing.assert_allclose(
+        float(res_sharded.final_cost), float(res_ref.final_cost), rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sharded.points), np.asarray(res_ref.points), atol=1e-3
+    )
