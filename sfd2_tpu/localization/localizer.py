@@ -1,0 +1,196 @@
+"""Benchmark localizer driver (it_loc/localizer.py parity).
+
+Capability parity: ``it_loc/localizer.py`` — ``run`` (``:25``) and
+``run_ecmu`` (``:204``): GT-pose loading for online success@threshold
+counters (0.25m/2°, 0.5m/5°, 5m/10°), retrieval parsing, singleton
+('sng') or covisibility-clustered ('clu') candidate construction per
+query, per-query localization via the engine, and the output artifacts:
+poses txt (dataset-specific name mangling — Aachen basename, RobotCar
+``rear/<img>``, ECMU raw name), ``.failed`` list, per-query ``.log`` and
+``_full.log``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from sfd2_tpu.geometry.np_pose import pose_error
+from sfd2_tpu.io.feature_store import FeatureStore
+from sfd2_tpu.io.pairs import (
+    parse_image_lists_with_intrinsics,
+    parse_img_lists_for_extended_cmu_seasons,
+    parse_retrieval,
+)
+from sfd2_tpu.io.colmap_model import read_model
+from sfd2_tpu.localization.engine import (
+    LocalizationEngine,
+    LocalizerConfig,
+    QueryResult,
+)
+from sfd2_tpu.sfm.map_index import MapIndex
+
+ERROR_THRESHOLDS = ((0.25, 2.0), (0.5, 5.0), (5.0, 10.0))
+
+logger = logging.getLogger(__name__)
+
+
+def load_gt_poses(path) -> Dict[str, dict]:
+    """'name qw qx qy qz tx ty tz' per line, keyed by basename
+    (``it_loc/localizer.py:29-36``)."""
+    gt = {}
+    for line in Path(path).read_text().splitlines():
+        parts = line.strip().split(" ")
+        if len(parts) < 8:
+            continue
+        gt[parts[0].split("/")[-1]] = {
+            "qvec": np.array(parts[1:5], float),
+            "tvec": np.array(parts[5:8], float),
+        }
+    return gt
+
+
+def result_name(qname: str, dataset: str) -> str:
+    if dataset in ("aachen", "aachen_v1.1"):
+        return qname.split("/")[-1]
+    if dataset == "robotcar":
+        parts = qname.split("/")
+        return parts[-2] + "/" + parts[-1]
+    return qname
+
+
+@dataclasses.dataclass
+class LocalizerRun:
+    dataset: str = "aachen_v1.1"
+    init_type: str = "sng"  # sng | clu
+    config: LocalizerConfig = dataclasses.field(default_factory=LocalizerConfig)
+    query_prefix: str = ""  # ECMU query/database name prefixes
+    db_prefix: str = ""
+
+
+def localize_queries(
+    queries: Sequence[Tuple[str, tuple]],
+    retrievals: Dict[str, List[str]],
+    map_index: MapIndex,
+    features: FeatureStore,
+    run_cfg: LocalizerRun,
+    gt_poses: Optional[Dict[str, dict]] = None,
+):
+    """Main query loop. Returns (poses dict, stats dict, logs)."""
+    engine = LocalizationEngine(map_index, features, run_cfg.config)
+    name_to_id = map_index.name_to_image_id
+
+    poses: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+    failed: List[str] = []
+    full_log: List[str] = []
+    success = [0, 0, 0]
+    n_gt = 0
+    t0 = time.time()
+
+    for qname, qinfo in queries:
+        cans = retrievals.get(qname, [])
+        frame_ids = []
+        for c in cans:
+            cn = run_cfg.db_prefix + c if run_cfg.db_prefix else c
+            if cn not in name_to_id:
+                logger.warning("retrieved %s not in database", cn)
+                continue
+            frame_ids.append(name_to_id[cn])
+        if not frame_ids:
+            failed.append(qname)
+            full_log.append(f"{qname}: no retrieval candidates")
+            continue
+
+        if run_cfg.init_type == "sng":
+            clusters = [[i] for i in frame_ids]
+        else:  # 'clu'
+            clusters = map_index.covisibility_clustering(frame_ids)
+
+        res: QueryResult = engine.localize(qname, qinfo, clusters)
+        poses[qname] = (res.qvec, res.tvec)
+        if res.num_inliers < 0:
+            failed.append(qname)
+        full_log.append(f"{qname}: {res.source} inliers={res.num_inliers}")
+        full_log.append(res.log.rstrip())
+
+        if gt_poses:
+            key = qname.split("/")[-1]
+            if key in gt_poses:
+                n_gt += 1
+                qe, te = pose_error(
+                    res.qvec, res.tvec, gt_poses[key]["qvec"], gt_poses[key]["tvec"]
+                )
+                for i, (t_th, q_th) in enumerate(ERROR_THRESHOLDS):
+                    if te <= t_th and qe <= q_th:
+                        success[i] += 1
+
+    stats = {
+        "num_queries": len(queries),
+        "num_localized": len(poses),
+        "num_failed": len(failed),
+        "elapsed_s": time.time() - t0,
+    }
+    if n_gt:
+        stats["recall"] = [s / n_gt for s in success]
+        stats["num_gt"] = n_gt
+    return poses, failed, stats, full_log
+
+
+def write_results(
+    poses: Dict[str, Tuple[np.ndarray, np.ndarray]],
+    failed: Sequence[str],
+    full_log: Sequence[str],
+    results_path,
+    dataset: str,
+):
+    results_path = Path(results_path)
+    results_path.parent.mkdir(parents=True, exist_ok=True)
+    with open(results_path, "w") as f:
+        for q, (qvec, tvec) in poses.items():
+            name = result_name(q, dataset)
+            qs = " ".join(str(float(v)) for v in qvec)
+            ts = " ".join(str(float(v)) for v in tvec)
+            f.write(f"{name} {qs} {ts}\n")
+    Path(str(results_path) + ".failed").write_text("\n".join(failed) + "\n")
+    Path(str(results_path).replace(".txt", "") + "_full.log").write_text(
+        "\n".join(full_log) + "\n"
+    )
+
+
+def run(
+    dataset: str,
+    reference_sfm,
+    queries_path,
+    retrieval_path,
+    features_path,
+    results_path,
+    run_cfg: Optional[LocalizerRun] = None,
+    gt_pose_path=None,
+):
+    """End-to-end CLI body (parity with ``it_loc/localizer.py run``)."""
+    run_cfg = run_cfg or LocalizerRun(dataset=dataset)
+    if dataset == "ecmu":
+        queries = parse_img_lists_for_extended_cmu_seasons(Path(queries_path))
+    else:
+        queries = parse_image_lists_with_intrinsics(Path(queries_path))
+    retrievals = parse_retrieval(retrieval_path)
+    cameras, images, points3d = read_model(reference_sfm)
+    map_index = MapIndex(cameras, images, points3d)
+    gt = load_gt_poses(gt_pose_path) if gt_pose_path else None
+    with FeatureStore(features_path, "r") as fs:
+        poses, failed, stats, full_log = localize_queries(
+            queries, retrievals, map_index, fs, run_cfg, gt
+        )
+    write_results(poses, failed, full_log, results_path, dataset)
+    logger.info("localized %d/%d", stats["num_localized"], stats["num_queries"])
+    if "recall" in stats:
+        logger.info(
+            "recall @ (0.25m,2°)/(0.5m,5°)/(5m,10°): %s",
+            "/".join(f"{100*r:.1f}" for r in stats["recall"]),
+        )
+    return stats

@@ -1,0 +1,155 @@
+"""End-to-end localizer driver test: files on disk → poses + recall."""
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from sfd2_tpu.geometry.cameras import Camera, canonicalize_params
+from sfd2_tpu.io.colmap_model import Image, Point3D, write_model
+from sfd2_tpu.io.feature_store import FeatureStore, ImageFeatures
+from sfd2_tpu.localization.engine import LocalizerConfig, _np_project
+from sfd2_tpu.localization.localizer import (
+    LocalizerRun,
+    load_gt_poses,
+    result_name,
+    run,
+)
+
+W, H = 640, 480
+CAM_PARAMS = [500.0, 500.0, 320.0, 240.0]
+CAM8 = canonicalize_params("PINHOLE", CAM_PARAMS)
+
+
+@pytest.fixture(scope="module")
+def disk_scene(tmp_path_factory):
+    rng = np.random.default_rng(21)
+    base = tmp_path_factory.mktemp("loc_cli")
+    n_pts = 350
+    pts = np.stack(
+        [rng.uniform(-4, 4, n_pts), rng.uniform(-3, 3, n_pts), rng.uniform(8, 15, n_pts)], 1
+    )
+    pdesc = rng.normal(size=(n_pts, 64)).astype(np.float32)
+    pdesc /= np.linalg.norm(pdesc, axis=1, keepdims=True)
+
+    cameras = {1: Camera(1, "PINHOLE", W, H, np.array(CAM_PARAMS))}
+    images, feats, obs = {}, {}, {i: [] for i in range(n_pts)}
+    for i in range(5):
+        iid = i + 1
+        r = Rotation.from_rotvec(rng.normal(size=3) * 0.04)
+        q = r.as_quat()[[3, 0, 1, 2]]
+        t = -r.as_matrix() @ np.array([i * 0.8 - 1.6, 0, 0])
+        xy, depth = _np_project(pts, q, t, CAM8)
+        vis = (depth > 0) & (xy[:, 0] > 8) & (xy[:, 0] < W - 8) & (xy[:, 1] > 8) & (xy[:, 1] < H - 8)
+        idx = np.nonzero(vis)[0]
+        kp = xy[idx] + rng.normal(size=(len(idx), 2)) * 0.3
+        de = pdesc[idx] + rng.normal(size=(len(idx), 64)).astype(np.float32) * 0.05
+        de /= np.linalg.norm(de, axis=1, keepdims=True)
+        name = f"db/{iid:04d}.jpg"
+        images[iid] = Image(iid, q, t, 1, name, kp, idx.astype(np.int64))
+        feats[name] = ImageFeatures(kp.astype(np.float32), de, rng.random(len(idx)).astype(np.float32), None)
+        for row, p in enumerate(idx):
+            obs[int(p)].append((iid, row))
+
+    points3d = {}
+    for p, o in obs.items():
+        if len(o) >= 2:
+            points3d[p] = Point3D(
+                p, pts[p], np.zeros(3, np.uint8), 0.4,
+                np.array([x[0] for x in o], np.int32),
+                np.array([x[1] for x in o], np.int32),
+            )
+    for iid in list(images):
+        im = images[iid]
+        p3d = np.array([p if p in points3d else -1 for p in im.point3D_ids], np.int64)
+        images[iid] = Image(iid, im.qvec, im.tvec, 1, im.name, im.xys, p3d)
+
+    model_dir = base / "sfm"
+    write_model(cameras, images, points3d, model_dir, ext=".bin")
+
+    # Queries: two easy + one garbage.
+    q_entries = []
+    gt_lines = []
+    retrieval_lines = []
+    fpath = base / "feats.h5"
+    with FeatureStore(fpath, "w") as fs:
+        for name, f in feats.items():
+            fs.write(name, f)
+        for qi in range(2):
+            r = Rotation.from_rotvec(rng.normal(size=3) * 0.03)
+            q = r.as_quat()[[3, 0, 1, 2]]
+            t = -r.as_matrix() @ np.array([qi * 0.5 - 0.2, 0.1, -0.1])
+            xy, depth = _np_project(pts, q, t, CAM8)
+            vis = (depth > 0) & (xy[:, 0] > 8) & (xy[:, 0] < W - 8) & (xy[:, 1] > 8) & (xy[:, 1] < H - 8)
+            idx = np.nonzero(vis)[0][:260]
+            kp = xy[idx] + rng.normal(size=(len(idx), 2)) * 0.3
+            de = pdesc[idx] + rng.normal(size=(len(idx), 64)).astype(np.float32) * 0.05
+            de /= np.linalg.norm(de, axis=1, keepdims=True)
+            qname = f"query/day/q{qi}.jpg"
+            fs.write(qname, ImageFeatures(kp.astype(np.float32), de, rng.random(len(idx)).astype(np.float32), None))
+            cam_str = "PINHOLE 640 480 500 500 320 240"
+            q_entries.append(f"{qname} {cam_str}")
+            gt_lines.append(
+                f"q{qi}.jpg " + " ".join(str(v) for v in [*q, *t])
+            )
+            for iid in sorted(images):
+                retrieval_lines.append(f"{qname} {images[iid].name}")
+
+    (base / "queries.txt").write_text("\n".join(q_entries) + "\n")
+    (base / "gt.txt").write_text("\n".join(gt_lines) + "\n")
+    (base / "retrieval.txt").write_text("\n".join(retrieval_lines) + "\n")
+    return base, fpath, model_dir
+
+
+def test_result_name_mangling():
+    assert result_name("query/day/x.jpg", "aachen_v1.1") == "x.jpg"
+    assert result_name("images/rear/123.jpg", "robotcar") == "rear/123.jpg"
+    assert result_name("img_c0_123.jpg", "ecmu") == "img_c0_123.jpg"
+
+
+def test_load_gt_poses(disk_scene):
+    base, _, _ = disk_scene
+    gt = load_gt_poses(base / "gt.txt")
+    assert "q0.jpg" in gt and gt["q0.jpg"]["qvec"].shape == (4,)
+
+
+def test_run_end_to_end(disk_scene):
+    base, fpath, model_dir = disk_scene
+    cfg = LocalizerRun(
+        dataset="aachen_v1.1",
+        init_type="sng",
+        config=LocalizerConfig(
+            ransac_thresh=8.0, opt_thresh=8.0, inlier_thresh=10,
+            covisibility_frame=5, iters=2, radius=12.0, obs_thresh=2,
+            max_keypoints=512, num_hypotheses=512,
+        ),
+    )
+    results_path = base / "out" / "poses.txt"
+    stats = run(
+        "aachen_v1.1", model_dir, base / "queries.txt", base / "retrieval.txt",
+        fpath, results_path, cfg, gt_pose_path=base / "gt.txt",
+    )
+    assert stats["num_localized"] == 2
+    assert stats["recall"] == [1.0, 1.0, 1.0], stats
+    lines = results_path.read_text().strip().splitlines()
+    assert len(lines) == 2
+    assert lines[0].startswith("q0.jpg ")
+    assert (base / "out" / "poses.txt.failed").exists()
+    assert (base / "out" / "poses_full.log").exists()
+
+
+def test_run_clustered_init(disk_scene):
+    base, fpath, model_dir = disk_scene
+    cfg = LocalizerRun(
+        dataset="aachen_v1.1",
+        init_type="clu",
+        config=LocalizerConfig(
+            ransac_thresh=8.0, opt_thresh=8.0, inlier_thresh=10,
+            covisibility_frame=5, iters=1, radius=12.0, obs_thresh=2,
+            max_keypoints=512, num_hypotheses=512,
+        ),
+    )
+    stats = run(
+        "aachen_v1.1", model_dir, base / "queries.txt", base / "retrieval.txt",
+        fpath, base / "out2" / "poses.txt", cfg, gt_pose_path=base / "gt.txt",
+    )
+    assert stats["recall"] == [1.0, 1.0, 1.0], stats
