@@ -150,3 +150,75 @@ verify_fundamental_ransac_batch = jax.jit(
     jax.vmap(verify_fundamental_ransac, in_axes=(0, 0, 0, None, 0)),
     static_argnames=("num_hypotheses", "min_inliers"),
 )
+
+
+# ---------------------------------------------------------------------------
+# Essential-matrix decomposition (incremental-SfM bootstrap)
+# ---------------------------------------------------------------------------
+
+
+def essential_from_fundamental(f: jax.Array, k1: jax.Array, k2: jax.Array):
+    """E = K2ᵀ F K1 with singular values normalised to (1, 1, 0)."""
+    e = k2.T @ f @ k1
+    u, s, vt = jnp.linalg.svd(e)
+    return u @ jnp.diag(jnp.array([1.0, 1.0, 0.0], e.dtype)) @ vt
+
+
+def _triangulate_midpoint(norm1, norm2, rot, t):
+    """Linear two-view triangulation in normalised coords (cam1 frame)."""
+    n = norm1.shape[0]
+    ones = jnp.ones((n, 1), norm1.dtype)
+    r1 = jnp.concatenate([norm1, ones], axis=1)  # rays in cam1
+    # DLT rows per point for P1 = [I|0], P2 = [R|t].
+    def tri_one(x1, x2):
+        p1 = jnp.concatenate([jnp.eye(3, dtype=rot.dtype), jnp.zeros((3, 1), rot.dtype)], 1)
+        p2 = jnp.concatenate([rot, t[:, None]], 1)
+        rows = jnp.stack(
+            [
+                x1[0] * p1[2] - p1[0],
+                x1[1] * p1[2] - p1[1],
+                x2[0] * p2[2] - p2[0],
+                x2[1] * p2[2] - p2[1],
+            ]
+        )
+        _, _, vt = jnp.linalg.svd(rows)
+        h = vt[-1]
+        return h[:3] / jnp.where(jnp.abs(h[3]) < 1e-12, 1e-12, h[3])
+
+    return jax.vmap(tri_one)(norm1, norm2)
+
+
+def decompose_essential(
+    e: jax.Array,
+    norm1: jax.Array,
+    norm2: jax.Array,
+    weights: jax.Array | None = None,
+):
+    """Recover (R, t̂) from E by cheirality voting over the 4 candidates.
+
+    Args: normalised (undistorted) image coords in the two views. Returns
+    (rot [3,3], t_unit [3], n_in_front) for the winning configuration —
+    pose of view 2 w.r.t. view 1 with ‖t‖=1 (scale is unobservable).
+    """
+    n = norm1.shape[0]
+    w = jnp.ones((n,), norm1.dtype) if weights is None else weights
+    u, _, vt = jnp.linalg.svd(e)
+    u = u * jnp.sign(jnp.linalg.det(u))
+    vt = vt * jnp.sign(jnp.linalg.det(vt))
+    wmat = jnp.array([[0.0, -1, 0], [1, 0, 0], [0, 0, 1]], e.dtype)
+    r_a = u @ wmat @ vt
+    r_b = u @ wmat.T @ vt
+    t_u = u[:, 2]
+
+    def count_front(rot, t):
+        x1 = _triangulate_midpoint(norm1, norm2, rot, t)
+        z1 = x1[:, 2]
+        z2 = (x1 @ rot.T + t)[:, 2]
+        return jnp.sum(((z1 > 0) & (z2 > 0)).astype(w.dtype) * w), (rot, t)
+
+    cands = [(r_a, t_u), (r_a, -t_u), (r_b, t_u), (r_b, -t_u)]
+    counts = jnp.stack([count_front(r, t)[0] for r, t in cands])
+    best = jnp.argmax(counts)
+    rots = jnp.stack([c[0] for c in cands])
+    ts = jnp.stack([c[1] for c in cands])
+    return rots[best], ts[best], counts[best]
