@@ -55,16 +55,26 @@ def build_tracks(
         offsets[iid] = total
         total += num_keypoints[iid]
 
-    dsu = UnionFind(total)
+    # Flatten all match edges into global node ids.
+    edge_list = []
     for id0, id1, matches in verified_matches:
         if len(matches) == 0:
             continue
-        o0, o1 = offsets[id0], offsets[id1]
-        for i0, i1 in np.asarray(matches, np.int64):
-            dsu.union(o0 + int(i0), o1 + int(i1))
+        m = np.asarray(matches, np.int64)
+        edge_list.append(m + np.array([offsets[id0], offsets[id1]], np.int64))
+    edges = (
+        np.concatenate(edge_list) if edge_list else np.zeros((0, 2), np.int64)
+    )
 
-    # Gather components.
-    roots = np.array([dsu.find(i) for i in range(total)], np.int64)
+    # Native union-find (C++ via ctypes) with pure-python fallback.
+    from sfd2_tpu.native import union_find_roots
+
+    roots = union_find_roots(total, edges)
+    if roots is None:
+        dsu = UnionFind(total)
+        for a, b in edges:
+            dsu.union(int(a), int(b))
+        roots = np.array([dsu.find(i) for i in range(total)], np.int64)
     order = np.argsort(roots, kind="stable")
     sorted_roots = roots[order]
     boundaries = np.nonzero(np.diff(sorted_roots))[0] + 1

@@ -146,3 +146,30 @@ def test_triangulate_filters_bad_tracks(rng):
     assert not valid[0]
     assert not valid[1]
     assert valid[2:].mean() > 0.9
+
+
+def test_native_union_find_matches_python(rng):
+    from sfd2_tpu.native import union_find_roots
+
+    n = 500
+    edges = rng.integers(0, n, size=(800, 2)).astype(np.int64)
+    roots = union_find_roots(n, edges)
+    if roots is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    # Same partition as a python DSU (root labels may differ).
+    from sfd2_tpu.sfm.tracks import UnionFind
+
+    dsu = UnionFind(n)
+    for a, b in edges:
+        dsu.union(int(a), int(b))
+    py_roots = np.array([dsu.find(i) for i in range(n)])
+    # Partition equality: same-root in one ⇔ same-root in the other.
+    for arr in (roots, py_roots):
+        assert len(arr) == n
+    _, inv_a = np.unique(roots, return_inverse=True)
+    _, inv_b = np.unique(py_roots, return_inverse=True)
+    remap = {}
+    for x, y in zip(inv_a, inv_b):
+        assert remap.setdefault(x, y) == y
