@@ -1,0 +1,70 @@
+"""Feature-extraction CLI (``python -m sfd2_tpu.cli.extract_features``).
+
+Capability parity: ``extract_localization.py`` (main CLI with conf
+registry, image-list input, HDF5 export, resume) and
+``hloc/extract_features.py``'s generic driver.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+
+from sfd2_tpu.io.feature_store import FeatureStore
+from sfd2_tpu.models.convert import convert_checkpoint
+from sfd2_tpu.models.sfd2 import ResSegNetV2
+from sfd2_tpu.pipeline.extract import EXTRACTION_CONFS, Extractor
+
+
+def list_images(image_dir: Path, image_list: Path | None):
+    if image_list:
+        return [l.strip() for l in Path(image_list).read_text().splitlines() if l.strip()]
+    exts = (".jpg", ".jpeg", ".png")
+    return sorted(
+        str(p.relative_to(image_dir))
+        for p in image_dir.rglob("*")
+        if p.suffix.lower() in exts
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--image_dir", type=Path, required=True)
+    parser.add_argument("--image_list", type=Path, default=None)
+    parser.add_argument("--export_fn", type=Path, required=True)
+    parser.add_argument("--conf", default="sfd2-n4096-r1600", choices=EXTRACTION_CONFS)
+    parser.add_argument("--weights", type=Path, default=None,
+                        help="torch .pth checkpoint to convert, or .ckpt")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    cfg = EXTRACTION_CONFS[args.conf]
+    model = ResSegNetV2(require_stability=True)
+    if args.weights and str(args.weights).endswith(".pth"):
+        variables = convert_checkpoint(str(args.weights))
+    else:
+        import jax
+        import jax.numpy as jnp
+
+        variables = model.init(
+            jax.random.PRNGKey(args.seed), jnp.zeros((1, 256, 256, 3))
+        )
+        if args.weights:
+            from flax import serialization
+
+            variables = serialization.from_bytes(
+                variables, Path(args.weights).read_bytes()
+            )
+
+    names = list_images(args.image_dir, args.image_list)
+    extractor = Extractor(variables, cfg, model=model)
+    args.export_fn.parent.mkdir(parents=True, exist_ok=True)
+    with FeatureStore(args.export_fn, "a") as store:
+        n = extractor.extract_to_store(args.image_dir, names, store)
+    logging.info("extracted %d images → %s", n, args.export_fn)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Training CLI (``python -m sfd2_tpu.cli.train``).
+
+Capability parity: ``train.py`` — argparse defaults overridden by a JSON
+config file, dataset selection, sampler/loss construction and the
+Trainer loop with resume. The reference's W/A/S/F/D eval()-DSL becomes
+``--image_dirs`` (one or more image folders concatenated, SURVEY §5
+recommends typed configs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+
+from sfd2_tpu.training.data import (
+    CatDataset,
+    ImageFolderDataset,
+    PairLoader,
+    SyntheticPairBuilder,
+)
+from sfd2_tpu.training.losses import SegLossConfig
+from sfd2_tpu.training.sampler import NghSampler2DS
+from sfd2_tpu.training.train_step import TrainConfig
+from sfd2_tpu.training.trainer import Trainer, TrainerConfig
+from sfd2_tpu.utils.config import apply_json_overlay, save_args
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", type=Path, default=None,
+                        help="JSON file overriding any argument")
+    parser.add_argument("--image_dirs", nargs="+", default=[])
+    parser.add_argument("--save_dir", default="runs/sfd2")
+    parser.add_argument("--run_name", default=None)
+    parser.add_argument("--epochs", type=int, default=40)
+    parser.add_argument("--iters_per_epoch", type=int, default=4000)
+    parser.add_argument("--bs", type=int, default=4)
+    parser.add_argument("--R", type=int, default=512, help="training crop size")
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--weight_decay", type=float, default=5e-4)
+    parser.add_argument("--det_weight", type=float, default=5.0)
+    parser.add_argument("--score_th", type=float, default=0.001)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--workers", type=int, default=4)
+    args = parser.parse_args(argv)
+    args = apply_json_overlay(args, args.config)
+
+    logging.basicConfig(level=logging.INFO)
+    datasets = [ImageFolderDataset(d) for d in args.image_dirs]
+    dataset = datasets[0] if len(datasets) == 1 else CatDataset(datasets)
+    builder = SyntheticPairBuilder(crop=args.R)
+    loader = PairLoader(
+        dataset, builder, batch_size=args.bs, workers=args.workers,
+        iters_per_epoch=args.iters_per_epoch,
+    )
+    cfg = TrainerConfig(
+        epochs=args.epochs,
+        iters_per_epoch=args.iters_per_epoch,
+        batch_size=args.bs,
+        save_dir=args.save_dir,
+        run_name=args.run_name,
+        train=TrainConfig(
+            lr=args.lr,
+            weight_decay=args.weight_decay,
+            det_weight=args.det_weight,
+            score_th=args.score_th,
+            loss=SegLossConfig(),
+            sampler=NghSampler2DS(),
+        ),
+    )
+    trainer = Trainer(loader, cfg)
+    save_args(args, trainer.run_dir / "args.json")
+    trainer.train(resume=args.resume)
+
+
+if __name__ == "__main__":
+    main()
