@@ -10,33 +10,30 @@ candidate DB frames, K=4096, C=128). The reference publishes no speed
 numbers (BASELINE.md → published: {}), so vs_baseline is 1.0 by
 definition until a measured reference wall-clock exists.
 
-Timing method: the sandbox TPU is reached through a high-latency relay
-(~50-100 ms RPC round-trip), so per-call host timing measures the
-tunnel, not the chip. Each stage therefore runs R iterations *inside one
-jitted lax.scan* (inputs generated on device) and returns a scalar; the
-single round-trip is amortised over R.
+Timing method: the sandbox TPU sits behind a high-latency relay
+(~50-100 ms RPC round-trip), so each stage processes a BATCH of frames
+per dispatch (amortising the round-trip) and is fenced by a small host
+transfer; the median over repeated calls is reported.
 """
 
 from __future__ import annotations
 
 import json
+import statistics
 import time
 import traceback
 
 import numpy as np
 
-REPS = 16
 
-
-def _time_scanned(jitted, *args):
-    """Median of 3 runs of an R-rep scanned program; returns secs/rep."""
-    np.asarray(jitted(0, *args))  # compile + warm
+def _timed_per_item(fn, fence, items_per_call, iters=3):
     ts = []
-    for t in range(3):
+    for _ in range(iters):
         t0 = time.perf_counter()
-        np.asarray(jitted(t + 1, *args))
+        out = fn()
+        fence(out)
         ts.append(time.perf_counter() - t0)
-    return sorted(ts)[1] / REPS
+    return statistics.median(ts) / items_per_call
 
 
 def run_bench():
@@ -49,59 +46,54 @@ def run_bench():
     from sfd2_tpu.ops.pallas_match import mutual_nn_match_pallas
 
     platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
 
     h = w = 1024
     k = 4096
     c = 128
     n_db = 50  # candidate DB frames per query (test_aachenv_1_1 NetVLAD top-50)
-    chunk = 10  # pairs per matching launch
+    ex_batch = 8 if on_tpu else 1
+    # The Pallas matcher never materialises the K×K similarity in HBM, so
+    # all 50 pairs fit in one launch on TPU; the XLA path chunks.
+    match_chunk = n_db if on_tpu else 10
 
     model = ResSegNetV2(require_stability=True)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32))
 
     @jax.jit
-    def extract_scan(seed, variables):
-        def body(carry, i):
-            img = jax.random.normal(
-                jax.random.fold_in(jax.random.PRNGKey(seed), i), (1, h, w, 3)
-            )
-            out = model.apply(variables, img)
-            kp = extract_keypoints(
-                out.score, out.descriptors, out.stability,
-                max_keypoints=k, conf_threshold=0.001,
-            )
-            return carry + jnp.sum(kp.scores), None
+    def extract(variables, images):
+        out = model.apply(variables, images)
+        return extract_keypoints(
+            out.score, out.descriptors, out.stability,
+            max_keypoints=k, conf_threshold=0.001,
+        )
 
-        tot, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(REPS))
-        return tot
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(ex_batch, h, w, 3)).astype(np.float32))
+    np.asarray(extract(variables, imgs).scores)  # compile + warm
 
-    t_extract = _time_scanned(extract_scan, variables)
+    t_extract = _timed_per_item(
+        lambda: extract(variables, imgs),
+        lambda o: np.asarray(o.scores[:, :8]),
+        ex_batch,
+    )
 
-    def match_scan_fn(match):
-        @jax.jit
-        def run(seed):
-            key = jax.random.PRNGKey(seed)
+    qd = rng.normal(size=(match_chunk, k, c)).astype(np.float32)
+    dd = rng.normal(size=(match_chunk, k, c)).astype(np.float32)
+    qd /= np.linalg.norm(qd, axis=-1, keepdims=True)
+    dd /= np.linalg.norm(dd, axis=-1, keepdims=True)
+    qdj, ddj = jnp.asarray(qd), jnp.asarray(dd)
 
-            def mk(i):
-                d = jax.random.normal(jax.random.fold_in(key, i), (chunk, k, c))
-                return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-
-            def body(carry, i):
-                m, _ = match(mk(2 * i), mk(2 * i + 1))
-                return carry + jnp.sum(m), None
-
-            tot, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(REPS))
-            return tot
-
-        return run
-
-    use_pallas = platform == "tpu"
-    if use_pallas:
-        match = lambda a, b: mutual_nn_match_pallas(a, b, None, None)
+    if on_tpu:
+        match = lambda: mutual_nn_match_pallas(qdj, ddj, None, None)[0]
+        matcher_name = "pallas"
     else:
-        match = lambda a, b: jax.vmap(lambda x, y: mutual_nn_match(x, y, None, None))(a, b)
-    t_chunk = _time_scanned(match_scan_fn(match))
-    t_match = t_chunk * (n_db / chunk)
+        vm = jax.jit(jax.vmap(lambda a, b: mutual_nn_match(a, b, None, None)))
+        match = lambda: vm(qdj, ddj)[0]
+        matcher_name = "xla"
+    np.asarray(match()[:, :4])  # compile + warm
+    t_pair = _timed_per_item(match, lambda o: np.asarray(o[:, :4]), match_chunk)
+    t_match = t_pair * n_db
 
     frame_time = t_extract + t_match
     return {
@@ -112,7 +104,7 @@ def run_bench():
         "platform": platform,
         "extract_ms": round(t_extract * 1e3, 2),
         "match50_ms": round(t_match * 1e3, 2),
-        "matcher": "pallas" if use_pallas else "xla",
+        "matcher": matcher_name,
     }
 
 

@@ -101,8 +101,8 @@ def nn_argmax_pallas(
     desc1: jax.Array,  # [B, N2, C]
     valid0: jax.Array,  # [B, N1] bool
     valid1: jax.Array,  # [B, N2] bool
-    block_m: int = 512,
-    block_n: int = 512,
+    block_m: int = 1024,
+    block_n: int = 1024,
     interpret: bool = False,
 ):
     """Fused bidirectional NN: (max12, nn12, max21, nn21)."""
@@ -162,8 +162,8 @@ def mutual_nn_match_pallas(
     desc1: jax.Array,
     valid0: jax.Array | None = None,
     valid1: jax.Array | None = None,
-    block_m: int = 512,
-    block_n: int = 512,
+    block_m: int = 1024,
+    block_n: int = 1024,
     interpret: bool = False,
 ):
     """Batched mutual-NN with the −1-sentinel contract of
