@@ -91,7 +91,12 @@ class Extractor:
     """Jitted batched extraction with a per-shape program cache."""
 
     def __init__(self, variables, config: ExtractionConfig = ExtractionConfig(),
-                 model: ResSegNetV2 | None = None):
+                 model: ResSegNetV2 | None = None, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh with a 'data' axis — image
+        batches are sharded over it (keyframe data parallelism, the
+        extraction half of the north-star multi-chip story); params are
+        replicated and XLA partitions the whole program."""
+        self.mesh = mesh
         if config.bf16:
             model = model or ResSegNetV2(require_stability=True, dtype=jnp.bfloat16)
             if model.dtype != jnp.bfloat16:
@@ -163,7 +168,14 @@ class Extractor:
                 for im in images
             ]
             batch = self._pad_batch(scaled)
-            kp = self._program(batch.shape[1:])(self.variables, jnp.asarray(batch))
+            if self.mesh is not None:
+                from sfd2_tpu.parallel.mesh import put_batch, put_replicated
+
+                batch_dev = put_batch(self.mesh, jnp.asarray(batch))
+                variables = put_replicated(self.mesh, self.variables)
+                kp = self._program(batch.shape[1:])(variables, batch_dev)
+            else:
+                kp = self._program(batch.shape[1:])(self.variables, jnp.asarray(batch))
             xy = np.asarray(kp.xy)
             scores = np.asarray(kp.scores)
             descs = np.asarray(kp.descriptors)

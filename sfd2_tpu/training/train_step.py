@@ -47,6 +47,9 @@ class TrainBatch(NamedTuple):
     gray2: jax.Array  # [B, H, W, 1]
     aflow: jax.Array  # [B, H, W, 2] absolute flow img1→img2 (NaN invalid)
     seg1: jax.Array  # [B, H, W] int ADE20k labels of img1 (precomputed)
+    # Optional precomputed ConvNeXt teacher features for the concatenated
+    # [2B, …] pair batch (stages 0-1); empty tuple disables seg_feat loss.
+    teacher_feats: tuple = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -142,7 +145,9 @@ def make_train_step(
             seg=seg,
             stability=out.stability_logits,
             pred_feats=out.features,
-            gt_feats=(),  # ConvNeXt teacher features: precomputed offline
+            gt_feats=tuple(
+                jax.lax.stop_gradient(f) for f in batch.teacher_feats
+            ),
         )
         # Without precomputed teacher features the consistency term is off.
         loss_cfg = (

@@ -99,3 +99,50 @@ def test_train_step_sharded_over_mesh(rng):
     np.testing.assert_allclose(
         float(metrics["loss"]), float(metrics1["loss"]), rtol=1e-3
     )
+
+
+def test_train_step_with_teacher_feats(rng):
+    """Precomputed ConvNeXt teacher features enable the seg_feat term."""
+    from sfd2_tpu.training.losses import SegLossConfig
+
+    model = ResSegNetV2(require_stability=True, require_feature=True)
+    sp = SuperPoint()
+    cfg = TrainConfig(
+        loss=SegLossConfig(topk_per_half=32, seg_feat=True),
+        sampler=NghSampler2DS(ngh=3, subq=-4, pos_d=1, neg_d=2, border=3, subd_neg=-4),
+    )
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0))
+    sp_vars = sp.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 1)))
+    step = jax.jit(make_train_step(model, sp, sp_vars, cfg))
+    b, r = 2, 64
+    batch = make_batch(rng, b=b, r=r)
+    feats = (
+        jnp.array(rng.random((2 * b, r // 4, r // 4, 128)).astype(np.float32)),
+        jnp.array(rng.random((2 * b, r // 4, r // 4, 256)).astype(np.float32)),
+    )
+    batch = batch._replace(teacher_feats=feats)
+    state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert "seg_feat_loss" in metrics
+    assert np.isfinite(float(metrics["seg_feat_loss"]))
+
+
+def test_extractor_sharded_over_mesh(rng):
+    """Mesh-sharded extraction equals single-device extraction."""
+    from sfd2_tpu.parallel.mesh import make_mesh
+    from sfd2_tpu.pipeline.extract import ExtractionConfig, Extractor
+
+    model = ResSegNetV2(require_stability=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    cfg = ExtractionConfig(max_keypoints=64, conf_threshold=1e-5, pad_multiple=32)
+    imgs = [rng.random((64, 64, 3)).astype(np.float32) for _ in range(8)]
+
+    plain = Extractor(variables, cfg, model=model)
+    f_ref = plain.extract_batch(imgs)
+
+    mesh = make_mesh(8, ("data",))
+    with mesh:
+        sharded = Extractor(variables, cfg, model=model, mesh=mesh)
+        f_sh = sharded.extract_batch(imgs)
+    for a, b_ in zip(f_ref, f_sh):
+        np.testing.assert_allclose(a.keypoints, b_.keypoints, atol=1e-4)
+        np.testing.assert_allclose(a.scores, b_.scores, atol=1e-5)
