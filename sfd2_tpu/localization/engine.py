@@ -148,44 +148,62 @@ class LocalizationEngine:
     ):
         """2D-3D correspondence assembly with (qid, p3d) dedup, track-length
         filtering and optional reprojection radius gating
-        (``match_cluster_2D:563`` + the refinement gate ``:341-350``)."""
-        mp3d, mkpq, p3d_rows, q_ids, src_db = [], [], [], [], []
-        per_db: Dict[int, List[tuple]] = {}
+        (``match_cluster_2D:563`` + the refinement gate ``:341-350``).
+
+        Fully vectorised: per-DB filters are boolean masks, the cross-DB
+        (qid, point) dedup is a first-occurrence ``np.unique`` over packed
+        keys (stable in DB order — reference iterates DBs in order too),
+        and the radius gate projects all candidates in one numpy pass.
+        """
+        all_q, all_p = [], []
+        per_db: Dict[int, np.ndarray] = {}
         for di, iid in enumerate(db_ids):
             _, _, _, prow = self._db_feats(iid)
             m = matches[di]
             qidx = np.nonzero(m >= 0)[0]
-            if len(qidx) == 0:
-                per_db[iid] = []
-                continue
             rows = prow[m[qidx]]
             ok = rows >= 0
             qidx, rows = qidx[ok], rows[ok]
             ok = self.map.track_len[rows] >= obs_th
             qidx, rows = qidx[ok], rows[ok]
-            recs = []
-            for qi, pr in zip(qidx, rows):
-                qi, pr = int(qi), int(pr)
-                recs.append((qi, pr))
-                seen = dedup.setdefault(qi, set())
-                if pr in seen:
-                    continue
-                seen.add(pr)
-                if gate_pose is not None and radius > 0:
-                    xy, _ = _np_project(
-                        self.map.point_xyz[pr : pr + 1], gate_pose[0], gate_pose[1], cam8
-                    )
-                    if np.linalg.norm(kpq[qi] - xy[0]) > radius:
-                        continue
-                mp3d.append(self.map.point_xyz[pr])
-                mkpq.append(kpq[qi])
-                p3d_rows.append(pr)
-                q_ids.append(qi)
-                src_db.append(iid)
-            per_db[iid] = recs
-        mp3d = np.array(mp3d, np.float64).reshape(-1, 3)
-        mkpq = np.array(mkpq, np.float64).reshape(-1, 2) + 0.5  # COLMAP origin
-        return mp3d, mkpq, np.array(p3d_rows, np.int64), np.array(q_ids, np.int64), per_db
+            per_db[iid] = np.stack([qidx, rows], 1) if len(qidx) else np.zeros((0, 2), np.int64)
+            all_q.append(qidx)
+            all_p.append(rows)
+
+        if not all_q or sum(len(a) for a in all_q) == 0:
+            return (
+                np.zeros((0, 3)), np.zeros((0, 2)),
+                np.zeros(0, np.int64), np.zeros(0, np.int64), per_db,
+            )
+        q_cat = np.concatenate(all_q).astype(np.int64)
+        p_cat = np.concatenate(all_p).astype(np.int64)
+        # First occurrence (in DB order) of each (qid, point) pair wins.
+        keys = q_cat * (self.map.incidence.shape[1] + 1) + p_cat
+        # Also honour an external dedup dict carried across calls.
+        if dedup:
+            prior = np.array(
+                [pr in dedup.get(int(qi), ()) for qi, pr in zip(q_cat, p_cat)]
+            )
+        else:
+            prior = np.zeros(len(q_cat), bool)
+        _, first_idx = np.unique(keys, return_index=True)
+        keep = np.zeros(len(keys), bool)
+        keep[first_idx] = True
+        keep &= ~prior
+        q_ids = q_cat[keep]
+        p3d_rows = p_cat[keep]
+        for qi, pr in zip(q_ids, p3d_rows):
+            dedup.setdefault(int(qi), set()).add(int(pr))
+
+        mp3d = self.map.point_xyz[p3d_rows]
+        mkpq = kpq[q_ids].astype(np.float64)
+        if gate_pose is not None and radius > 0 and len(mp3d):
+            proj, _ = _np_project(mp3d, gate_pose[0], gate_pose[1], cam8)
+            ok = np.linalg.norm(mkpq - proj, axis=1) <= radius
+            mp3d, mkpq = mp3d[ok], mkpq[ok]
+            p3d_rows, q_ids = p3d_rows[ok], q_ids[ok]
+        mkpq = mkpq + 0.5  # COLMAP origin
+        return mp3d, mkpq, p3d_rows, q_ids, per_db
 
     # ------------------------------------------------------------------
     def _run_pnp(self, mkpq, mp3d, cam8, thresh, seed=0):
@@ -316,13 +334,12 @@ class LocalizationEngine:
 
             # Best-single-image consensus (``:745-760``): per DB image,
             # count its (qid → p3d) matches that are PnP inliers.
-            q_assign = {}
-            for i in range(len(q_ids)):
-                if inliers[i]:
-                    q_assign[int(q_ids[i])] = int(p3d_rows[i])
+            assign = np.full(cfg.max_keypoints, -2, np.int64)
+            inl_idx = np.nonzero(inliers)[0]
+            assign[q_ids[inl_idx]] = p3d_rows[inl_idx]
             best_single, best_db = -1, cluster[0]
             for iid, recs in per_db.items():
-                n = sum(1 for qi, pr in recs if q_assign.get(qi) == pr)
+                n = int(np.sum(assign[recs[:, 0]] == recs[:, 1])) if len(recs) else 0
                 if n > best_single:
                     best_single, best_db = n, iid
 
