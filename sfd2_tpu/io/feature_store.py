@@ -131,15 +131,23 @@ class MatchStore:
         if key in self._f:
             del self._f[key]
         grp = self._f.create_group(key)
-        grp.create_dataset("matches0", data=np.asarray(matches0, np.int16))
+        # int32, not the reference's int16: max_keypoints is a free knob and
+        # indices above 32767 must not silently wrap.
+        grp.create_dataset("matches0", data=np.asarray(matches0, np.int32))
         if scores0 is not None:
             grp.create_dataset(
                 "matching_scores0", data=np.asarray(scores0, np.float16)
             )
 
-    def read(self, name0, name1):
+    def read(self, name0, name1, num_keypoints0: int | None = None):
         """Return (matches0 [N0] int, scores0 [N0] float) with orientation
-        handling: reading a reversed pair inverts the match direction."""
+        handling: reading a reversed pair inverts the match direction.
+
+        For reversed reads, pass `num_keypoints0` (name0's keypoint count)
+        to size the output; otherwise the array covers only up to the
+        largest matched index (sufficient for consumers that iterate the
+        matched entries, not for positional indexing).
+        """
         key = names_to_pair(name0, name1)
         if key in self._f:
             grp = self._f[key]
@@ -153,10 +161,18 @@ class MatchStore:
         rkey = names_to_pair(name1, name0)
         grp = self._f[rkey]
         m_rev = grp["matches0"][()].astype(np.int64)
+        s_rev = (
+            grp["matching_scores0"][()].astype(np.float32)
+            if "matching_scores0" in grp
+            else np.zeros(len(m_rev), np.float32)
+        )
         # Invert: matches0_fwd[j] = i where m_rev[i] = j.
-        n0 = int(m_rev.max()) + 1 if m_rev.size and m_rev.max() >= 0 else 0
+        max_idx = int(m_rev.max()) + 1 if m_rev.size and m_rev.max() >= 0 else 0
+        n0 = num_keypoints0 if num_keypoints0 is not None else max_idx
         m = np.full(max(n0, 0), -1, np.int64)
+        s = np.zeros(max(n0, 0), np.float32)
         src = np.nonzero(m_rev >= 0)[0]
+        src = src[m_rev[src] < n0]
         m[m_rev[src]] = src
-        s = np.zeros(len(m), np.float32)
+        s[m_rev[src]] = s_rev[src]
         return m, s

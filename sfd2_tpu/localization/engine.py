@@ -93,13 +93,21 @@ class LocalizationEngine:
         self.map = map_index
         self.features = feature_store
         self.cfg = config
-        self._db_cache: Dict[str, tuple] = {}
+        # LRU-bounded cache: padded DB features are ~2 MB each (K=4096,
+        # C=128), an unbounded dict would grow to tens of GB over a full
+        # benchmark query set.
+        from collections import OrderedDict
+
+        self._db_cache: "OrderedDict[str, tuple]" = OrderedDict()
+        self._db_cache_max = 1024
 
     # ------------------------------------------------------------------
     def _db_feats(self, image_id: int):
-        """Padded (kp, desc, valid3d, p3d_rows) for a DB image, cached."""
+        """Padded (kp, desc, valid3d, p3d_rows) for a DB image, LRU-cached."""
         name = self.map.images[image_id].name
-        if name not in self._db_cache:
+        if name in self._db_cache:
+            self._db_cache.move_to_end(name)
+        else:
             k = self.cfg.max_keypoints
             kp, desc, _, valid = self.features.read_padded(name, k)
             prow_full = self.map.p3d_rows_per_image[self.map.image_row[image_id]]
@@ -108,6 +116,8 @@ class LocalizationEngine:
             prow[:n] = prow_full[:n]
             valid3d = valid & (prow >= 0)
             self._db_cache[name] = (kp, desc, valid3d, prow)
+            if len(self._db_cache) > self._db_cache_max:
+                self._db_cache.popitem(last=False)
         return self._db_cache[name]
 
     def _match_query_to_dbs(self, q_desc, q_valid, db_ids: Sequence[int]):

@@ -93,6 +93,13 @@ def localize_queries(
     t0 = time.time()
 
     for qname, qinfo in queries:
+        # ECMU-style stores key query features under a prefix
+        # (run_ecmu's query_img_prefix); fall back to the raw name.
+        qkey = qname
+        if run_cfg.query_prefix:
+            prefixed = run_cfg.query_prefix + qname
+            if prefixed in engine.features:
+                qkey = prefixed
         cans = retrievals.get(qname, [])
         frame_ids = []
         for c in cans:
@@ -111,7 +118,7 @@ def localize_queries(
         else:  # 'clu'
             clusters = map_index.covisibility_clustering(frame_ids)
 
-        res: QueryResult = engine.localize(qname, qinfo, clusters)
+        res: QueryResult = engine.localize(qkey, qinfo, clusters)
         poses[qname] = (res.qvec, res.tvec)
         if res.num_inliers < 0:
             failed.append(qname)

@@ -91,10 +91,10 @@ def pnp_dlt(
     row_u = jnp.concatenate([xh, zeros, -u * xh], axis=1)  # [N,12]
     row_v = jnp.concatenate([zeros, xh, -v * xh], axis=1)
     a = jnp.concatenate([row_u * w[:, None], row_v * w[:, None]], axis=0)  # [2N,12]
-    # Smallest right-singular vector of A == eigvec of AᵀA (12×12, symmetric).
-    ata = a.T @ a
-    _, vecs = jnp.linalg.eigh(ata)
-    p_norm = vecs[:, 0].reshape(3, 4)
+    # SVD of A, not eigh of AᵀA: squaring the condition number is fatal in
+    # float32 for near-degenerate RANSAC minimal samples.
+    _, _, vt = jnp.linalg.svd(a, full_matrices=False)
+    p_norm = vt[-1, :].reshape(3, 4)
 
     # Denormalise: x2_norm = T2 · x2, X3_norm = T3 · X3  ⇒  P = T2⁻¹ P_n T3.
     t2_inv = jnp.array(

@@ -135,9 +135,3 @@ def pnp_ransac(
     num = jnp.sum(inliers).astype(jnp.int32)
     success = (num >= min_inliers) & jnp.all(jnp.isfinite(q)) & jnp.all(jnp.isfinite(t))
     return PnPResult(qvec=q, tvec=t, num_inliers=num, inliers=inliers, success=success)
-
-
-pnp_ransac_batch = jax.jit(
-    jax.vmap(pnp_ransac, in_axes=(0, 0, 0, 0, None, 0)),
-    static_argnames=("num_hypotheses", "lo_iterations", "min_inliers"),
-)

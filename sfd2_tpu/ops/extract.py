@@ -59,6 +59,7 @@ def extract_keypoints(
     heatmap: jax.Array,
     desc_map: jax.Array,
     stability: jax.Array | None = None,
+    sizes: jax.Array | None = None,
     *,
     max_keypoints: int = 4096,
     conf_threshold: float = 0.001,
@@ -72,6 +73,10 @@ def extract_keypoints(
       desc_map: [B, h, w, C] coarse descriptor map.
       stability: optional [B, H, W] semantic-stability multiplier
         (already mapped to {0.1, 0.5, 1.0} by the model head).
+      sizes: optional [B, 2] true (w, h) of each image when the maps are
+        zero-padded to a common shape — keypoints in the padded region
+        are excluded and the border filter applies at the TRUE image
+        edge, so padding never consumes top-K slots.
 
     Returns `Keypoints` with K = max_keypoints padded rows per image,
     sorted by descending score (ref sorts by confidence too,
@@ -86,10 +91,20 @@ def extract_keypoints(
 
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    border_ok = (
-        (xs >= border) & (xs < w - border) & (ys >= border) & (ys < h - border)
-    )
-    keep = (scores > conf_threshold) & border_ok[None]
+    if sizes is None:
+        border_ok = (
+            (xs >= border) & (xs < w - border) & (ys >= border) & (ys < h - border)
+        )[None]
+    else:
+        w_i = sizes[:, 0][:, None, None]
+        h_i = sizes[:, 1][:, None, None]
+        border_ok = (
+            (xs[None] >= border)
+            & (xs[None] < w_i - border)
+            & (ys[None] >= border)
+            & (ys[None] < h_i - border)
+        )
+    keep = (scores > conf_threshold) & border_ok
     masked = jnp.where(keep, scores, -jnp.inf).reshape(b, h * w)
 
     top_scores, top_idx = jax.lax.top_k(masked, k)

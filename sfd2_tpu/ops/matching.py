@@ -164,10 +164,8 @@ def mutual_nn_match_with_labels(
     return matches0, scores0
 
 
-# Batched variants: vmap over a leading pair axis — the unit of work for
+# Batched variant: vmap over a leading pair axis — the unit of work for
 # DB-pair matching (hloc.match_features parity) where thousands of pairs
-# are matched per launch.
+# are matched per launch. (Ratio/one-way callers build their own vmap with
+# the axes they need — see sfd2_tpu/pipeline/match.py.)
 mutual_nn_match_batch = jax.jit(jax.vmap(mutual_nn_match))
-mutual_nn_ratio_match_batch = jax.jit(
-    jax.vmap(mutual_nn_ratio_match, in_axes=(0, 0, None, 0, 0)),
-)

@@ -119,7 +119,7 @@ class Extractor:
             cfg = self.cfg
 
             @jax.jit
-            def run(variables, images):
+            def run(variables, images, sizes):
                 out = self.model.apply(variables, images)
                 score = out.score
                 h, w = images.shape[1], images.shape[2]
@@ -129,6 +129,7 @@ class Extractor:
                     score,
                     out.descriptors,
                     out.stability,
+                    sizes,
                     max_keypoints=cfg.max_keypoints,
                     conf_threshold=cfg.conf_threshold,
                     nms_radius=cfg.nms_radius,
@@ -168,14 +169,20 @@ class Extractor:
                 for im in images
             ]
             batch = self._pad_batch(scaled)
+            sizes = jnp.asarray(
+                np.array([[im.shape[1], im.shape[0]] for im in scaled], np.int32)
+            )
             if self.mesh is not None:
                 from sfd2_tpu.parallel.mesh import put_batch, put_replicated
 
                 batch_dev = put_batch(self.mesh, jnp.asarray(batch))
+                sizes_dev = put_batch(self.mesh, sizes)
                 variables = put_replicated(self.mesh, self.variables)
-                kp = self._program(batch.shape[1:])(variables, batch_dev)
+                kp = self._program(batch.shape[1:])(variables, batch_dev, sizes_dev)
             else:
-                kp = self._program(batch.shape[1:])(self.variables, jnp.asarray(batch))
+                kp = self._program(batch.shape[1:])(
+                    self.variables, jnp.asarray(batch), sizes
+                )
             xy = np.asarray(kp.xy)
             scores = np.asarray(kp.scores)
             descs = np.asarray(kp.descriptors)

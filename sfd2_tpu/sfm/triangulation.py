@@ -54,8 +54,9 @@ def _triangulate_dlt(
         [y[:, None] * p3 - p2, (y * t3 - t2)[:, None]], axis=1
     )
     a = jnp.concatenate([row_x * w[:, None], row_y * w[:, None]], axis=0)  # [2T, 4]
-    _, vecs = jnp.linalg.eigh(a.T @ a)
-    h = vecs[:, 0]
+    # SVD of A (f32 conditioning; see CLAUDE.md), not eigh of AᵀA.
+    _, _, vt = jnp.linalg.svd(a, full_matrices=False)
+    h = vt[-1]
     return h[:3] / jnp.where(jnp.abs(h[3]) < 1e-12, 1e-12, h[3])
 
 

@@ -146,12 +146,6 @@ def verify_fundamental_ransac(
     return TwoViewResult(fmatrix=f, inliers=inliers, num_inliers=num, success=success)
 
 
-verify_fundamental_ransac_batch = jax.jit(
-    jax.vmap(verify_fundamental_ransac, in_axes=(0, 0, 0, None, 0)),
-    static_argnames=("num_hypotheses", "min_inliers"),
-)
-
-
 # ---------------------------------------------------------------------------
 # Essential-matrix decomposition (incremental-SfM bootstrap)
 # ---------------------------------------------------------------------------

@@ -60,6 +60,9 @@ class TrainConfig:
     det_weight: float = 5.0  # reference --det_weight default
     decay_rate: float = 1.0  # exponential LR decay (trainer.py:166)
     decay_iter: int = 0
+    use_seg: bool = True  # set False when no semantic labels are available:
+    #                       disables seg_det/seg_desc rather than training
+    #                       the stability head on all-zero labels
     loss: SegLossConfig = SegLossConfig()
     sampler: NghSampler2DS = NghSampler2DS()
 
@@ -149,12 +152,13 @@ def make_train_step(
                 jax.lax.stop_gradient(f) for f in batch.teacher_feats
             ),
         )
-        # Without precomputed teacher features the consistency term is off.
-        loss_cfg = (
-            cfg.loss
-            if inputs.gt_feats
-            else dataclasses.replace(cfg.loss, seg_feat=False)
-        )
+        # Without precomputed teacher features the consistency term is off;
+        # without semantic labels the stability/descriptor seg terms are off.
+        loss_cfg = cfg.loss
+        if not inputs.gt_feats:
+            loss_cfg = dataclasses.replace(loss_cfg, seg_feat=False)
+        if not cfg.use_seg:
+            loss_cfg = dataclasses.replace(loss_cfg, seg_det=False, seg_desc=False)
         losses = seg_loss(key, inputs, cfg.sampler, loss_cfg)
         return losses["loss"], (losses, mutated["batch_stats"])
 
@@ -162,13 +166,23 @@ def make_train_step(
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, batch, key)
+        # NaN guard (trainer.py:151-163): skip the ENTIRE update on a bad
+        # batch — params, optimizer moments AND batch stats — otherwise a
+        # single NaN batch poisons the Adam state permanently.
+        finite = jnp.isfinite(loss) & jax.tree_util.tree_reduce(
+            lambda a, g: a & jnp.all(jnp.isfinite(g)),
+            grads,
+            jnp.bool_(True),
+        )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        # NaN guard (trainer.py:151-163): skip the update on a bad batch.
-        finite = jnp.isfinite(loss)
-        new_params = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(finite, new, old), new_params, state.params
-        )
+
+        def keep_if_finite(new, old):
+            return jnp.where(finite, new, old) if new.dtype != jnp.bool_ else new
+
+        new_params = jax.tree_util.tree_map(keep_if_finite, new_params, state.params)
+        new_opt = jax.tree_util.tree_map(keep_if_finite, new_opt, state.opt_state)
+        new_stats = jax.tree_util.tree_map(keep_if_finite, new_stats, state.batch_stats)
         new_state = TrainState(
             params=new_params,
             batch_stats=new_stats,

@@ -102,9 +102,10 @@ class Trainer:
             superpoint_variables = self.superpoint.init(
                 jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 1))
             )
-        self._step_fn = jax.jit(
-            make_train_step(self.model, self.superpoint, superpoint_variables, config.train)
-        )
+        self._sp_variables = superpoint_variables
+        # Step fns are built lazily per seg-availability: a loader without
+        # semantic labels must disable the seg losses, not feed zeros.
+        self._step_fns = {}
         self.run_dir = config.run_dir()
         self.run_dir.mkdir(parents=True, exist_ok=True)
         self.log_path = self.run_dir / "log.txt"
@@ -133,12 +134,26 @@ class Trainer:
         return True
 
     # ------------------------------------------------------------------
+    def _step_for(self, has_seg: bool):
+        if has_seg not in self._step_fns:
+            import dataclasses as _dc
+
+            tc = self.cfg.train
+            if not has_seg and tc.use_seg:
+                self._log("no seg labels in batches: disabling seg losses")
+                tc = _dc.replace(tc, use_seg=False)
+            self._step_fns[has_seg] = jax.jit(
+                make_train_step(self.model, self.superpoint, self._sp_variables, tc)
+            )
+        return self._step_fns[has_seg]
+
     def process_epoch(self, epoch: int) -> float:
         losses = []
         t0 = time.time()
         for it, batch_np in enumerate(self.loader.epoch(epoch)):
             if it >= self.cfg.iters_per_epoch:
                 break
+            has_seg = "seg1" in batch_np
             batch = TrainBatch(
                 image1=jnp.asarray(batch_np["image1"]),
                 image2=jnp.asarray(batch_np["image2"]),
@@ -146,13 +161,16 @@ class Trainer:
                 gray2=jnp.asarray(batch_np["gray2"]),
                 aflow=jnp.asarray(batch_np["aflow"]),
                 seg1=jnp.asarray(
-                    batch_np.get(
-                        "seg1", np.zeros(batch_np["mask"].shape, np.int32)
-                    )
+                    batch_np["seg1"]
+                    if has_seg
+                    else np.zeros(batch_np["mask"].shape, np.int32)
+                ),
+                teacher_feats=tuple(
+                    jnp.asarray(f) for f in batch_np.get("teacher_feats", ())
                 ),
             )
             key = jax.random.fold_in(jax.random.PRNGKey(7), epoch * 100_000 + it)
-            self.state, metrics = self._step_fn(self.state, batch, key)
+            self.state, metrics = self._step_for(has_seg)(self.state, batch, key)
             if it % self.cfg.log_every == 0:
                 vals = {k: float(v) for k, v in metrics.items()}
                 losses.append(vals["loss"])
