@@ -66,15 +66,19 @@ class FeatureStore:
 
         return list(walk(self._f))
 
-    def write(self, name: str, feats: ImageFeatures) -> None:
+    def write(self, name: str, feats: ImageFeatures, as_half: bool = False) -> None:
+        """`as_half` stores descriptors as float16 (hloc's as_half option,
+        ``hloc/extract_features.py:633-637``) — halves storage; reads
+        upcast back to float32."""
         if name in self._f:
             del self._f[name]
         grp = self._f.create_group(name)
         grp.create_dataset("keypoints", data=np.asarray(feats.keypoints, np.float32))
         # Reference stores descriptors transposed [C, N].
-        grp.create_dataset(
-            "descriptors", data=np.ascontiguousarray(np.asarray(feats.descriptors).T)
-        )
+        desc = np.ascontiguousarray(np.asarray(feats.descriptors).T)
+        if as_half:
+            desc = desc.astype(np.float16)
+        grp.create_dataset("descriptors", data=desc)
         grp.create_dataset("scores", data=np.asarray(feats.scores, np.float32))
         if feats.image_size is not None:
             grp.create_dataset("image_size", data=np.asarray(feats.image_size))
