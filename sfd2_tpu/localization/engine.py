@@ -326,9 +326,16 @@ class LocalizationEngine:
         q_feats = (kpq, q_desc, q_valid)
         log = ""
 
+        # Pre-match the query against EVERY candidate DB frame in one
+        # batched launch (the reference re-launches per cluster, §3.1 HOT
+        # LOOP #1; one launch amortises both the GEMM and the device RPC).
+        all_dbs = sorted({iid for c in clusters for iid in c})
+        all_matches = self._match_query_to_dbs(q_desc, q_valid, all_dbs)
+        match_of = {iid: all_matches[i] for i, iid in enumerate(all_dbs)}
+
         best = {"num_inliers": 0, "qvec": None, "tvec": None, "db_id": None}
         for ci, cluster in enumerate(clusters):
-            matches = self._match_query_to_dbs(q_desc, q_valid, cluster)
+            matches = np.stack([match_of[iid] for iid in cluster])
             mp3d, mkpq, p3d_rows, q_ids, per_db = self._assemble_2d3d(
                 kpq, matches, cluster, obs_th=3, dedup={}
             )
