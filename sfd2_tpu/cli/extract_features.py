@@ -37,10 +37,16 @@ def main(argv=None):
     parser.add_argument("--weights", type=Path, default=None,
                         help="torch .pth checkpoint to convert, or .ckpt")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--as_half", action="store_true",
+                        help="store descriptors as float16 (half the disk)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
     cfg = EXTRACTION_CONFS[args.conf]
+    if args.as_half:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, as_half=True)
     model = ResSegNetV2(require_stability=True)
     if args.weights and str(args.weights).endswith(".pth"):
         variables = convert_checkpoint(str(args.weights))

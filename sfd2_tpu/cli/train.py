@@ -39,7 +39,7 @@ def main(argv=None):
     parser.add_argument("--R", type=int, default=512, help="training crop size")
     parser.add_argument("--lr", type=float, default=1e-4)
     parser.add_argument("--weight_decay", type=float, default=5e-4)
-    parser.add_argument("--det_weight", type=float, default=5.0)
+    parser.add_argument("--det_weight", type=float, default=1.0)
     parser.add_argument("--score_th", type=float, default=0.001)
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--workers", type=int, default=4)

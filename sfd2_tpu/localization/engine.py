@@ -326,15 +326,29 @@ class LocalizationEngine:
         q_feats = (kpq, q_desc, q_valid)
         log = ""
 
-        # Pre-match the query against EVERY candidate DB frame in one
-        # batched launch (the reference re-launches per cluster, §3.1 HOT
-        # LOOP #1; one launch amortises both the GEMM and the device RPC).
-        all_dbs = sorted({iid for c in clusters for iid in c})
-        all_matches = self._match_query_to_dbs(q_desc, q_valid, all_dbs)
-        match_of = {iid: all_matches[i] for i, iid in enumerate(all_dbs)}
+        # Lazy-batched matching: the first cluster is matched alone (easy
+        # queries accept it and stop — one small launch, like the
+        # reference's early exit); on the first miss, ALL remaining
+        # candidates are matched in ONE batched launch (the reference
+        # re-launches per cluster, §3.1 HOT LOOP #1).
+        match_of: Dict[int, np.ndarray] = {}
+
+        def ensure_matched(ci: int):
+            cluster = clusters[ci]
+            if all(iid in match_of for iid in cluster):
+                return
+            todo = sorted(
+                {iid for c in clusters[ci:] for iid in c if iid not in match_of}
+            ) if ci > 0 else sorted(set(cluster))
+            m = self._match_query_to_dbs(q_desc, q_valid, todo)
+            for i, iid in enumerate(todo):
+                match_of[iid] = m[i]
 
         best = {"num_inliers": 0, "qvec": None, "tvec": None, "db_id": None}
         for ci, cluster in enumerate(clusters):
+            if not cluster:
+                continue
+            ensure_matched(ci)
             matches = np.stack([match_of[iid] for iid in cluster])
             mp3d, mkpq, p3d_rows, q_ids, per_db = self._assemble_2d3d(
                 kpq, matches, cluster, obs_th=3, dedup={}

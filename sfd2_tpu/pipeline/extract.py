@@ -48,6 +48,7 @@ class ExtractionConfig:
     bf16: bool = False  # run the conv stack in bfloat16 (~15% faster; score
     #                     ranking can shift on near-ties — keep f32 for
     #                     recall-parity validation runs)
+    as_half: bool = False  # store descriptors as float16 (hloc as_half)
 
 
 # Named presets mirroring the reference registry
@@ -242,7 +243,9 @@ class Extractor:
                 # Reference rescale: (kp + 0.5) * scale − 0.5.
                 kp = (f.keypoints + 0.5) * scale - 0.5
                 store.write(
-                    n, ImageFeatures(kp, f.descriptors, f.scores, np.array([w0, h0]))
+                    n,
+                    ImageFeatures(kp, f.descriptors, f.scores, np.array([w0, h0])),
+                    as_half=cfg.as_half,
                 )
                 count += 1
         return count

@@ -97,6 +97,63 @@ def _normalize(img: np.ndarray) -> np.ndarray:
     return (img - _RGB_MEAN) / _RGB_STD
 
 
+def crop_pair(
+    rng: np.random.Generator,
+    img1_full: np.ndarray,
+    img2_full: np.ndarray,
+    aflow_full: np.ndarray,
+    valid_full: np.ndarray,
+    crop: int,
+    n_tries: int = 5,
+) -> PairSample:
+    """Shared crop-window search (``tools/dataloader.py:148-188``): pick
+    the best valid-flow-coverage RxR window in img1, crop img2 around the
+    flow target's median, re-mask, normalise."""
+    r = crop
+    h, w = img1_full.shape[:2]
+    h2, w2 = img2_full.shape[:2]
+    assert aflow_full.shape[:2] == (h, w), (aflow_full.shape, img1_full.shape)
+    assert valid_full.shape == (h, w), valid_full.shape
+
+    best = None
+    for _ in range(n_tries):
+        x0 = int(rng.integers(0, max(w - r, 1)))
+        y0 = int(rng.integers(0, max(h - r, 1)))
+        cov = valid_full[y0 : y0 + r, x0 : x0 + r].mean()
+        if best is None or cov > best[0]:
+            best = (cov, x0, y0)
+    _, x0, y0 = best
+    img1 = img1_full[y0 : y0 + r, x0 : x0 + r]
+    flow = aflow_full[y0 : y0 + r, x0 : x0 + r].copy()
+
+    med = np.nanmedian(
+        np.where(valid_full[y0 : y0 + r, x0 : x0 + r, None], flow, np.nan),
+        axis=(0, 1),
+    )
+    if not np.all(np.isfinite(med)):
+        med = np.array([w2 / 2, h2 / 2])
+    x1 = int(np.clip(med[0] - r / 2, 0, max(w2 - r, 0)))
+    y1 = int(np.clip(med[1] - r / 2, 0, max(h2 - r, 0)))
+    img2 = img2_full[y1 : y1 + r, x1 : x1 + r]
+    flow[..., 0] -= x1
+    flow[..., 1] -= y1
+    mask = (
+        (flow[..., 0] >= 0) & (flow[..., 0] < img2.shape[1])
+        & (flow[..., 1] >= 0) & (flow[..., 1] < img2.shape[0])
+    )
+    flow[~mask] = np.nan
+
+    return PairSample(
+        img1=_normalize(img1),
+        img2=_normalize(img2),
+        gray1=_to_gray(img1),
+        gray2=_to_gray(img2),
+        raw1=img1,
+        aflow=flow.astype(np.float32),
+        mask=mask,
+    )
+
+
 @dataclasses.dataclass
 class SyntheticPairBuilder:
     """Single image → warped training pair with analytic flow.
@@ -136,49 +193,31 @@ class SyntheticPairBuilder:
             & (flow_full[..., 1] < h)
         )
 
-        # Crop search: best valid-coverage window for img1.
-        best = None
-        for _ in range(self.n_crop_tries):
-            x0 = int(rng.integers(0, max(w - r, 1)))
-            y0 = int(rng.integers(0, max(h - r, 1)))
-            cov = valid_full[y0 : y0 + r, x0 : x0 + r].mean()
-            if best is None or cov > best[0]:
-                best = (cov, x0, y0)
-        _, x0, y0 = best
-        img1 = img[y0 : y0 + r, x0 : x0 + r]
-        flow = flow_full[y0 : y0 + r, x0 : x0 + r].copy()
-
-        # Crop img2 around the flow target's median.
-        med = np.nanmedian(
-            np.where(valid_full[y0 : y0 + r, x0 : x0 + r, None], flow, np.nan),
-            axis=(0, 1),
-        )
-        if not np.all(np.isfinite(med)):
-            med = np.array([w / 2, h / 2])
-        x1 = int(np.clip(med[0] - r / 2, 0, max(w - r, 0)))
-        y1 = int(np.clip(med[1] - r / 2, 0, max(h - r, 0)))
-        img2 = img2_full[y1 : y1 + r, x1 : x1 + r]
-        flow[..., 0] -= x1
-        flow[..., 1] -= y1
-        mask = (
-            (flow[..., 0] >= 0) & (flow[..., 0] < r)
-            & (flow[..., 1] >= 0) & (flow[..., 1] < r)
-        )
-        flow[~mask] = np.nan
-
         if self.jitter:
-            img2 = color_jitter(rng, img2)
+            img2_full = color_jitter(rng, img2_full)
         if self.noise:
-            img2 = pixel_noise(rng, img2, self.noise)
+            img2_full = pixel_noise(rng, img2_full, self.noise)
 
-        return PairSample(
-            img1=_normalize(img1),
-            img2=_normalize(img2),
-            gray1=_to_gray(img1),
-            gray2=_to_gray(img2),
-            raw1=img1,
-            aflow=flow.astype(np.float32),
-            mask=mask,
+        return crop_pair(
+            rng, img, img2_full, flow_full, valid_full, r, self.n_crop_tries
+        )
+
+
+@dataclasses.dataclass
+class PrecomputedPairBuilder:
+    """Builder over datasets exposing ``get_pair(idx)`` → (img1, img2,
+    aflow, mask) — the still / optical-flow pair datasets
+    (``sfd2_tpu.training.flow_pairs``). Applies the same crop-window
+    search; the dataset index doubles as the 'image' index."""
+
+    crop: int = 512
+    n_crop_tries: int = 5
+
+    def build_from_pair(self, rng, img1, img2, aflow, mask) -> PairSample:
+        valid = np.asarray(mask, bool) & np.isfinite(aflow).all(-1)
+        return crop_pair(
+            rng, img1, img2, np.where(valid[..., None], aflow, np.nan),
+            valid, self.crop, self.n_crop_tries,
         )
 
 
@@ -222,9 +261,21 @@ class PairLoader:
         if self.iters_per_epoch:
             n_batches = min(n_batches, self.iters_per_epoch)
 
+        has_pairs = hasattr(self.dataset, "get_pair")
+
         def make(idx_seed):
             idx, s = idx_seed
             r = np.random.default_rng(s)
+            if has_pairs:
+                pb = (
+                    self.builder
+                    if isinstance(self.builder, PrecomputedPairBuilder)
+                    else PrecomputedPairBuilder(
+                        crop=self.builder.crop,
+                        n_crop_tries=self.builder.n_crop_tries,
+                    )
+                )
+                return pb.build_from_pair(r, *self.dataset.get_pair(int(idx)))
             return self.builder.build(r, self.dataset.get_image(int(idx)))
 
         with ThreadPoolExecutor(self.workers) as pool:

@@ -17,23 +17,29 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 
+# The on-disk format is fixed-point: flow values in 1/16-px units stored
+# as little-endian int16 pairs reinterpreted as a 4-channel uint8 PNG.
+_FLOW_SCALE = 16.0
+_I16_MIN, _I16_MAX = np.iinfo(np.int16).min, np.iinfo(np.int16).max
+
+
 def flow_to_png(flow: np.ndarray, path) -> np.ndarray:
-    """Encode [H, W, 2] float flow as the reference's int16/16 PNG.
-    Returns the quantised flow actually stored."""
+    """Encode [H, W, 2] float flow in the fixed-point PNG format.
+    Returns the quantised flow actually stored (1/16-px resolution)."""
     from PIL import Image
 
-    q = np.clip(np.around(16 * flow), -(2**15), 2**15 - 1)
-    data = np.int16(q).view(np.uint8)
-    Image.fromarray(data).save(path)
-    return q / 16
+    fixed = np.rint(np.asarray(flow) * _FLOW_SCALE)
+    fixed = np.clip(fixed, _I16_MIN, _I16_MAX).astype(np.int16)
+    Image.fromarray(fixed.view(np.uint8)).save(path)
+    return fixed.astype(np.float32) / _FLOW_SCALE
 
 
 def png_to_flow(path) -> np.ndarray:
-    """Decode a flow PNG back to float32 [H, W, 2]."""
+    """Decode a fixed-point flow PNG back to float32 [H, W, 2]."""
     from PIL import Image
 
-    raw = np.asarray(Image.open(path)).view(np.int16)
-    return np.float32(raw) / 16
+    packed = np.asarray(Image.open(path), dtype=np.uint8)
+    return packed.view(np.int16).astype(np.float32) / _FLOW_SCALE
 
 
 class StillPairDataset:
@@ -92,8 +98,16 @@ class FlowPairDataset:
         img1 = self._load_image(name1)
         img2 = self._load_image(name2)
         flow = png_to_flow(self.root / flow_png)
-        mask = np.asarray(Image.open(self.root / mask_png)) > 0
+        mask = np.asarray(Image.open(self.root / mask_png))
+        if mask.ndim == 3:  # RGB(A)-saved masks: any nonzero channel = valid
+            mask = mask.max(axis=-1)
+        mask = mask > 0
         h, w = img1.shape[:2]
+        if flow.shape[:2] != (h, w) or mask.shape != (h, w):
+            raise ValueError(
+                f"flow/mask shape {flow.shape[:2]}/{mask.shape} does not "
+                f"match image {name1} shape {(h, w)}"
+            )
         ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
         aflow = flow + np.stack([xs, ys], axis=-1)
         aflow[~mask] = np.nan

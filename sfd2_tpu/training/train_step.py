@@ -57,7 +57,7 @@ class TrainConfig:
     lr: float = 1e-4
     weight_decay: float = 5e-4
     score_th: float = 0.001
-    det_weight: float = 5.0  # reference --det_weight default
+    det_weight: float = 1.0  # reference --det_weight default (train.py:167)
     decay_rate: float = 1.0  # exponential LR decay (trainer.py:166)
     decay_iter: int = 0
     use_seg: bool = True  # set False when no semantic labels are available:

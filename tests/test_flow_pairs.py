@@ -51,3 +51,47 @@ def test_flow_pair_dataset(tmp_path, rng):
     np.testing.assert_allclose(
         aflow[ys, xs], flow[ys, xs] + [xs, ys], atol=1 / 16 + 1e-6
     )
+
+
+def test_flow_pair_dataset_rgb_mask_and_shape_check(tmp_path, rng):
+    import cv2
+    from PIL import Image
+    import pytest
+
+    for n in ["a.png", "b.png"]:
+        cv2.imwrite(str(tmp_path / n), (rng.random((24, 32, 3)) * 255).astype(np.uint8))
+    flow = rng.normal(size=(24, 32, 2)).astype(np.float32)
+    flow_to_png(flow, tmp_path / "flow.png")
+    # RGB-saved mask must still work.
+    m = np.zeros((24, 32, 3), np.uint8)
+    m[4:20, 4:28] = 255
+    Image.fromarray(m).save(tmp_path / "mask_rgb.png")
+    ds = FlowPairDataset(tmp_path, [("a.png", "b.png", "flow.png", "mask_rgb.png")])
+    _, _, aflow, mm = ds.get_pair(0)
+    assert mm.shape == (24, 32) and mm[10, 10]
+
+    # Mismatched flow size → clear error.
+    flow_to_png(rng.normal(size=(10, 10, 2)).astype(np.float32), tmp_path / "bad.png")
+    ds2 = FlowPairDataset(tmp_path, [("a.png", "b.png", "bad.png", "mask_rgb.png")])
+    with pytest.raises(ValueError, match="does not"):
+        ds2.get_pair(0)
+
+
+def test_precomputed_pair_builder_through_loader(tmp_path, rng):
+    """FlowPairDataset drives PairLoader end-to-end via PrecomputedPairBuilder."""
+    from sfd2_tpu.training.data import PairLoader, PrecomputedPairBuilder
+
+    class Base:
+        def __len__(self):
+            return 2
+
+        def get_image(self, i):
+            return np.random.default_rng(i).random((96, 96, 3)).astype(np.float32)
+
+    ds = StillPairDataset(Base())
+    loader = PairLoader(ds, PrecomputedPairBuilder(crop=48, n_crop_tries=2),
+                        batch_size=2, workers=2)
+    batch = next(iter(loader.epoch(0)))
+    assert batch["image1"].shape == (2, 48, 48, 3)
+    assert batch["aflow"].shape == (2, 48, 48, 2)
+    assert batch["mask"].any()
