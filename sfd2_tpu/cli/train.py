@@ -17,6 +17,7 @@ from sfd2_tpu.training.data import (
     CatDataset,
     ImageFolderDataset,
     PairLoader,
+    PrecomputedPairBuilder,
     SyntheticPairBuilder,
 )
 from sfd2_tpu.training.losses import SegLossConfig
@@ -31,6 +32,10 @@ def main(argv=None):
     parser.add_argument("--config", type=Path, default=None,
                         help="JSON file overriding any argument")
     parser.add_argument("--image_dirs", nargs="+", default=[])
+    parser.add_argument("--flow_pair_list", type=Path, default=None,
+                        help="file of 'img1 img2 flow.png mask.png' lines "
+                             "(precomputed-flow pairs, e.g. Aachen optical-flow)")
+    parser.add_argument("--pair_image_root", type=Path, default=None)
     parser.add_argument("--save_dir", default="runs/sfd2")
     parser.add_argument("--run_name", default=None)
     parser.add_argument("--epochs", type=int, default=40)
@@ -47,9 +52,20 @@ def main(argv=None):
     args = apply_json_overlay(args, args.config)
 
     logging.basicConfig(level=logging.INFO)
-    datasets = [ImageFolderDataset(d) for d in args.image_dirs]
-    dataset = datasets[0] if len(datasets) == 1 else CatDataset(datasets)
-    builder = SyntheticPairBuilder(crop=args.R)
+    if args.flow_pair_list:
+        from sfd2_tpu.training.flow_pairs import FlowPairDataset
+
+        entries = [
+            tuple(l.split(" ")[:4])
+            for l in Path(args.flow_pair_list).read_text().splitlines()
+            if l.strip()
+        ]
+        dataset = FlowPairDataset(args.pair_image_root or Path("."), entries)
+        builder = PrecomputedPairBuilder(crop=args.R)
+    else:
+        datasets = [ImageFolderDataset(d) for d in args.image_dirs]
+        dataset = datasets[0] if len(datasets) == 1 else CatDataset(datasets)
+        builder = SyntheticPairBuilder(crop=args.R)
     loader = PairLoader(
         dataset, builder, batch_size=args.bs, workers=args.workers,
         iters_per_epoch=args.iters_per_epoch,
