@@ -120,7 +120,12 @@ class Extractor:
             cfg = self.cfg
 
             @jax.jit
-            def run(variables, images, sizes):
+            def run(variables, images_u8, sizes):
+                # Images arrive as uint8 and are normalised on device:
+                # 4x fewer bytes over the host↔device link (which is the
+                # bottleneck behind a high-latency relay).
+                images = images_u8.astype(jnp.float32) / 255.0
+                images = (images - jnp.asarray(_RGB_MEAN)) / jnp.asarray(_RGB_STD)
                 out = self.model.apply(variables, images)
                 score = out.score
                 h, w = images.shape[1], images.shape[2]
@@ -141,14 +146,18 @@ class Extractor:
         return self._programs[shape]
 
     def _pad_batch(self, images: Sequence[np.ndarray]):
+        """Pad to a bucketed shape as uint8 (normalisation happens on
+        device — see _program). Inputs are float [0,1] images."""
         m = self.cfg.pad_multiple
         hmax = max(im.shape[0] for im in images)
         wmax = max(im.shape[1] for im in images)
         hp = ((hmax + m - 1) // m) * m
         wp = ((wmax + m - 1) // m) * m
-        batch = np.zeros((len(images), hp, wp, 3), np.float32)
+        batch = np.zeros((len(images), hp, wp, 3), np.uint8)
         for i, im in enumerate(images):
-            batch[i, : im.shape[0], : im.shape[1]] = normalize_image(im)
+            batch[i, : im.shape[0], : im.shape[1]] = np.clip(
+                np.rint(im * 255.0), 0, 255
+            ).astype(np.uint8)
         return batch
 
     def extract_batch(self, images: Sequence[np.ndarray]) -> List[ImageFeatures]:
