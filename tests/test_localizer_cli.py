@@ -153,3 +153,17 @@ def test_run_clustered_init(disk_scene):
         fpath, base / "out2" / "poses.txt", cfg, gt_pose_path=base / "gt.txt",
     )
     assert stats["recall"] == [1.0, 1.0, 1.0], stats
+
+
+def test_ecmu_query_parser(tmp_path):
+    from sfd2_tpu.io.pairs import parse_img_lists_for_extended_cmu_seasons
+
+    lst = tmp_path / "test-images-slice7.txt"
+    lst.write_text("img_00122_c0_1303398475046031us.jpg\nimg_00123_c1_1303398475546123us.jpg\n")
+    queries = parse_img_lists_for_extended_cmu_seasons(lst)
+    assert len(queries) == 2
+    name, (model, w, h, params) = queries[0]
+    assert name.endswith(".jpg")
+    assert model == "OPENCV" and (w, h) == (1024, 768)
+    assert len(params) == 8  # fx fy cx cy k1 k2 p1 p2
+    assert abs(params[0] - 868.993378) < 1e-6
