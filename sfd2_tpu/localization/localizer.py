@@ -201,3 +201,31 @@ def run(
             "/".join(f"{100*r:.1f}" for r in stats["recall"]),
         )
     return stats
+
+
+def localize_sfm(
+    reference_sfm,
+    queries_path,
+    retrieval_path,
+    features_path,
+    results_path,
+    ransac_thresh: float = 12.0,
+    covisibility_clustering: bool = True,
+):
+    """hloc-style entry point (``hloc/localize_sfm.py`` semantics: covis
+    clustering + per-cluster PnP, no iterative covisibility refinement —
+    note the reference's own copy is dead code, ``:54,67``)."""
+    from sfd2_tpu.localization.engine import LocalizerConfig
+
+    cfg = LocalizerRun(
+        dataset="generic",
+        init_type="clu" if covisibility_clustering else "sng",
+        config=LocalizerConfig(
+            ransac_thresh=ransac_thresh,
+            do_covisibility_opt=False,
+        ),
+    )
+    return run(
+        "generic", reference_sfm, queries_path, retrieval_path,
+        features_path, results_path, cfg,
+    )
