@@ -118,7 +118,15 @@ def localize_queries(
         else:  # 'clu'
             clusters = map_index.covisibility_clustering(frame_ids)
 
-        res: QueryResult = engine.localize(qkey, qinfo, clusters)
+        try:
+            res: QueryResult = engine.localize(qkey, qinfo, clusters)
+        except KeyError as e:
+            # Missing query features must not abort the whole benchmark
+            # run (the reference skips-and-warns, it_loc/localizer.py:96).
+            logger.warning("query %s failed: missing features %s", qname, e)
+            failed.append(qname)
+            full_log.append(f"{qname}: missing features ({e})")
+            continue
         poses[qname] = (res.qvec, res.tvec)
         if res.num_inliers < 0:
             failed.append(qname)

@@ -167,3 +167,32 @@ def test_ecmu_query_parser(tmp_path):
     assert model == "OPENCV" and (w, h) == (1024, 768)
     assert len(params) == 8  # fx fy cx cy k1 k2 p1 p2
     assert abs(params[0] - 868.993378) < 1e-6
+
+
+def test_missing_query_features_marks_failed(disk_scene):
+    """A query absent from the feature store is skipped, not fatal."""
+    base, fpath, model_dir = disk_scene
+    q2 = base / "queries_extra.txt"
+    q2.write_text(
+        (base / "queries.txt").read_text()
+        + "query/day/missing.jpg PINHOLE 640 480 500 500 320 240\n"
+    )
+    r2 = base / "retrieval_extra.txt"
+    r2.write_text(
+        (base / "retrieval.txt").read_text()
+        + "query/day/missing.jpg db/0001.jpg\n"
+    )
+    cfg = LocalizerRun(
+        dataset="aachen_v1.1",
+        config=LocalizerConfig(max_keypoints=512, num_hypotheses=256,
+                               ransac_thresh=8.0),
+    )
+    stats = run(
+        "aachen_v1.1", model_dir, q2, r2, fpath,
+        base / "out3" / "poses.txt", cfg, gt_pose_path=base / "gt.txt",
+    )
+    assert stats["num_queries"] == 3
+    assert stats["num_localized"] == 2
+    assert stats["num_failed"] == 1
+    failed = (base / "out3" / "poses.txt.failed").read_text()
+    assert "missing.jpg" in failed
