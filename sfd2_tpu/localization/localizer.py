@@ -118,15 +118,22 @@ def localize_queries(
         else:  # 'clu'
             clusters = map_index.covisibility_clustering(frame_ids)
 
-        try:
-            res: QueryResult = engine.localize(qkey, qinfo, clusters)
-        except KeyError as e:
-            # Missing query features must not abort the whole benchmark
-            # run (the reference skips-and-warns, it_loc/localizer.py:96).
-            logger.warning("query %s failed: missing features %s", qname, e)
-            failed.append(qname)
-            full_log.append(f"{qname}: missing features ({e})")
-            continue
+        if qkey not in engine.features:
+            # Missing query features must not abort the whole run. This is
+            # a deviation from the reference (which would crash on the raw
+            # h5py KeyError at it_loc/localize_cv2.py:677): emit the
+            # reference's final-fallback pose — the top retrieved frame
+            # (it_loc/localize_cv2.py:1266-1272) — so poses.txt stays
+            # complete and recall counts the query as a (likely) miss.
+            logger.warning("query %s: no features in store", qname)
+            top = map_index.images[clusters[0][0]]
+            res = QueryResult(
+                np.array(top.qvec), np.array(top.tvec), -1,
+                "missing query features; using top retrieved pose",
+                source="retrieval_fallback",
+            )
+        else:
+            res = engine.localize(qkey, qinfo, clusters)
         poses[qname] = (res.qvec, res.tvec)
         if res.num_inliers < 0:
             failed.append(qname)

@@ -170,7 +170,8 @@ def test_ecmu_query_parser(tmp_path):
 
 
 def test_missing_query_features_marks_failed(disk_scene):
-    """A query absent from the feature store is skipped, not fatal."""
+    """A query absent from the feature store gets the retrieval-fallback
+    pose (counted as a miss), not a crash."""
     base, fpath, model_dir = disk_scene
     q2 = base / "queries_extra.txt"
     q2.write_text(
@@ -192,7 +193,14 @@ def test_missing_query_features_marks_failed(disk_scene):
         base / "out3" / "poses.txt", cfg, gt_pose_path=base / "gt.txt",
     )
     assert stats["num_queries"] == 3
-    assert stats["num_localized"] == 2
+    # All three get poses (the missing-features query uses the top
+    # retrieved frame's pose) and the bad one is listed as failed.
+    assert stats["num_localized"] == 3
     assert stats["num_failed"] == 1
+    # Recall denominator includes only GT-covered queries; the missing
+    # query has no GT entry here so recall stays clean.
+    assert stats["recall"] == [1.0, 1.0, 1.0]
     failed = (base / "out3" / "poses.txt.failed").read_text()
     assert "missing.jpg" in failed
+    lines = (base / "out3" / "poses.txt").read_text().strip().splitlines()
+    assert len(lines) == 3
