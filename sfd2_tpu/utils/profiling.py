@@ -60,17 +60,15 @@ def trace(log_dir: str):
 
 def device_time(fn, *args, fence=None, iters: int = 3):
     """Median wall-clock of `fn(*args)` with a host-transfer fence."""
+    import jax
     import numpy as np
 
-    out = fn(*args)
-    (fence or (lambda o: np.asarray(jax.tree_util.tree_leaves(o)[0])))(out)
-    import jax
-
+    if fence is None:
+        fence = lambda o: np.asarray(jax.tree_util.tree_leaves(o)[0])
+    fence(fn(*args))  # warm-up / compile
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(leaf)
+        fence(fn(*args))
         ts.append(time.perf_counter() - t0)
     return sorted(ts)[len(ts) // 2]

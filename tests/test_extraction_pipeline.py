@@ -91,3 +91,24 @@ def test_normalize_image():
         out[0, 0], (1 - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225]),
         rtol=1e-5,
     )
+
+
+def test_multiscale_extraction(small_extractor, rng):
+    """Multi-scale confs concatenate per-scale detections rescaled to the
+    base resolution (extract.py:87 pyramid parity)."""
+    import dataclasses
+
+    from sfd2_tpu.pipeline.extract import Extractor
+
+    cfg = dataclasses.replace(
+        small_extractor.cfg, scales=(1.0, 0.75), max_keypoints=256
+    )
+    ex = Extractor(small_extractor.variables, cfg, model=small_extractor.model)
+    img = rng.random((96, 128, 3)).astype(np.float32)
+    single = small_extractor.extract_batch([img])[0]
+    multi = ex.extract_batch([img])[0]
+    assert len(multi.keypoints) >= len(single.keypoints)
+    assert np.all(multi.keypoints[:, 0] < 128)
+    assert np.all(multi.keypoints[:, 1] < 96)
+    # Sorted by score across scales.
+    assert np.all(np.diff(multi.scores) <= 1e-6)
