@@ -109,3 +109,36 @@ def test_batched_matching(rng):
     m, s = mutual_nn_match_batch(jnp.array(d1), jnp.array(d2))
     for i in range(b):
         np.testing.assert_array_equal(np.array(m[i]), torch_mutual_nn(d1[i], d2[i]))
+
+
+def test_matching_sharded_db_bank(rng):
+    """DB descriptor banks sharded across the mesh (SURVEY §7.1: 'DB
+    descriptor bank sharded across chips for matching'): one query
+    replicated, candidate banks split over the data axis — results match
+    the unsharded program exactly."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sfd2_tpu.parallel.mesh import make_mesh
+
+    n_banks, k, c = 16, 128, 32
+    q = unit_descs(rng, k, c)
+    banks = np.stack([unit_descs(rng, k, c) for _ in range(n_banks)])
+    qb = np.broadcast_to(q, (n_banks, k, c))
+    v = np.ones((n_banks, k), bool)
+
+    m_ref, s_ref = mutual_nn_match_batch(
+        jnp.array(qb), jnp.array(banks), jnp.array(v), jnp.array(v)
+    )
+
+    mesh = make_mesh(8, ("data",))
+    with mesh:
+        shard = NamedSharding(mesh, P("data"))
+        m_sh, s_sh = mutual_nn_match_batch(
+            jax.device_put(jnp.array(qb), shard),
+            jax.device_put(jnp.array(banks), shard),
+            jax.device_put(jnp.array(v), shard),
+            jax.device_put(jnp.array(v), shard),
+        )
+    np.testing.assert_array_equal(np.array(m_sh), np.array(m_ref))
+    np.testing.assert_allclose(np.array(s_sh), np.array(s_ref), atol=1e-5)
