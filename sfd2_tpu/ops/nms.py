@@ -50,3 +50,27 @@ def simple_nms(scores: jax.Array, nms_radius: int = 4, iterations: int = 2) -> j
         new_max_mask = supp_scores == _maxpool_same(supp_scores, nms_radius)
         max_mask = max_mask | (new_max_mask & (~supp_mask))
     return jnp.where(max_mask, scores, zeros)
+
+
+def nms_fast_host(points: "np.ndarray", scores: "np.ndarray", h: int, w: int,
+                  dist_thresh: int = 4):
+    """Host-side grid-greedy NMS (``extract.py:17`` nms_fast capability):
+    rasterise candidates onto a grid, visit in descending score order,
+    suppress a (2r+1)² neighbourhood around each accepted point.
+
+    Args: points [N, 2] (x, y) int-able coords, scores [N].
+    Returns indices of kept points (descending score)."""
+    import numpy as np
+
+    grid = -np.ones((h, w), np.int64)
+    order = np.argsort(-scores)
+    xs = np.clip(points[order, 0].astype(int), 0, w - 1)
+    ys = np.clip(points[order, 1].astype(int), 0, h - 1)
+    kept = []
+    r = dist_thresh
+    for oi, (x, y) in zip(order, zip(xs, ys)):
+        if grid[y, x] != -1:
+            continue
+        kept.append(int(oi))
+        grid[max(y - r, 0) : y + r + 1, max(x - r, 0) : x + r + 1] = oi
+    return np.array(kept, np.int64)

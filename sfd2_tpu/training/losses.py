@@ -121,6 +121,26 @@ def _det_loss(cfg: SegLossConfig, inp: SegLossInputs) -> jax.Array:
         p = jnp.clip(inp.score, 1e-6, 1 - 1e-6)
         bce = -(inp.gt_score * jnp.log(p) + (1 - inp.gt_score) * jnp.log(1 - p))
         return jnp.mean(bce * inp.weight)
+    if cfg.det_loss == "sce":
+        # Semantic-modulated CE (``nets/losses.py:363-389``): damp the
+        # SuperPoint semi target by the per-pixel semantic confidence
+        # (m = r − r·a/(1 − r·a)), repack to 64 cells + dustbin,
+        # renormalise. NOTE: the reference computes this target and then
+        # passes the UNMODULATED one into its CE (``:385``, evident bug);
+        # here the modulated target is actually used.
+        from sfd2_tpu.models.sfd2 import _pixel_shuffle_score
+
+        b, hc, wc, _ = inp.gt_semi.shape
+        r = jnp.where(inp.seg_mask, inp.seg_confidence, 1.0)
+        a = _pixel_shuffle_score(inp.gt_semi)  # [2B, H, W] from 64 cells
+        m = r - r * a / jnp.maximum(1.0 - r * a, 1e-6)
+        m = jnp.maximum(m, 0.0)
+        # Invert the pixel shuffle: [2B, H, W] → [2B, hc, wc, 64].
+        m = m.reshape(b, hc, 8, wc, 8).transpose(0, 1, 3, 2, 4).reshape(b, hc, wc, 64)
+        sgt = jnp.concatenate([m, inp.gt_semi[..., 64:]], axis=-1)
+        sgt = sgt / jnp.maximum(jnp.sum(sgt, axis=-1, keepdims=True), 1e-12)
+        ce = -jnp.sum(sgt * jnp.log(jnp.maximum(inp.semi, 1e-12)), axis=-1)
+        return jnp.mean(ce)
     raise ValueError(cfg.det_loss)
 
 

@@ -17,6 +17,8 @@ import json
 from pathlib import Path
 from typing import Any, Dict
 
+import numpy as np
+
 
 def apply_json_overlay(args: argparse.Namespace, config_path) -> argparse.Namespace:
     """Override argparse defaults with values from a JSON file."""
@@ -56,3 +58,10 @@ def dataclass_from_dict(cls, data: Dict[str, Any]):
         else:
             kwargs[k] = v
     return cls(**kwargs)
+
+
+def model_size(params) -> int:
+    """Total parameter count (``tools/common.py`` model_size parity)."""
+    import jax
+
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))

@@ -152,3 +152,44 @@ def test_clurefpos_refinement_path(tmp_path):
     assert res.source == "accepted", res.log
     qe, te = pose_error(res.qvec, res.tvec, q_gt, t_gt)
     assert qe < 0.5 and te < 0.1, (qe, te, res.log)
+
+
+def test_sce_det_loss(rng):
+    from sfd2_tpu.training.losses import SegLossConfig, seg_loss
+    from sfd2_tpu.training.sampler import NghSampler2DS
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("tl2", "tests/test_training_losses.py")
+    tl = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tl)
+    inp = tl._full_loss_inputs(rng)
+    sampler = NghSampler2DS(ngh=3, subq=-2, pos_d=1, neg_d=2, border=3, subd_neg=-2)
+    out = seg_loss(jax.random.PRNGKey(0), inp,
+                   sampler, SegLossConfig(det_loss="sce", topk_per_half=32))
+    assert np.isfinite(float(out["det_loss"]))
+    # Modulated target differs from plain ce on semantically-varied input.
+    out_ce = seg_loss(jax.random.PRNGKey(0), inp,
+                      sampler, SegLossConfig(det_loss="ce", topk_per_half=32))
+    assert abs(float(out["det_loss"]) - float(out_ce["det_loss"])) > 1e-6
+
+
+def test_nms_fast_host(rng):
+    from sfd2_tpu.ops.nms import nms_fast_host
+
+    pts = np.array([[10, 10], [12, 11], [30, 30], [10, 40]], float)
+    sc = np.array([0.9, 0.95, 0.5, 0.7])
+    kept = nms_fast_host(pts, sc, 64, 64, dist_thresh=4)
+    # (12,11) beats (10,10) within radius; others survive.
+    assert 1 in kept and 0 not in kept
+    assert 2 in kept and 3 in kept
+    assert list(kept) == sorted(kept, key=lambda i: -sc[i])
+
+
+def test_model_size():
+    from sfd2_tpu.utils.config import model_size
+    from sfd2_tpu.models.sfd2 import ResSegNetV2
+
+    m = ResSegNetV2(require_stability=True)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    n = model_size(v["params"])
+    assert 3_000_000 < n < 20_000_000  # ~5-6M params expected
