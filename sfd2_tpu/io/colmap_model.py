@@ -314,3 +314,32 @@ def write_model(cameras, images, points3d, path: os.PathLike, ext: str = ".bin")
         _write_points3d_txt(points3d, path / "points3D.txt")
     else:
         raise ValueError(f"unknown model format {ext!r}")
+
+
+def camera_from_exif(image_path, camera_id: int = 1) -> "Camera":
+    """EXIF-based camera ingestion (``colmap feature_importer`` /
+    ``hloc/reconstruction.py:37-47`` capability): build a SIMPLE_RADIAL
+    camera from an image's EXIF focal length, falling back to COLMAP's
+    default prior f = 1.2·max(w, h) when EXIF is absent."""
+    from PIL import Image as PILImage
+    from PIL.ExifTags import TAGS
+
+    with PILImage.open(image_path) as im:
+        w, h = im.size
+        focal_px = None
+        exif = im.getexif()
+        if exif:
+            named = {TAGS.get(k, k): v for k, v in exif.items()}
+            f35 = named.get("FocalLengthIn35mmFilm")
+            if f35:
+                # 35mm-equivalent → pixels via the 36mm frame width.
+                focal_px = float(f35) / 36.0 * max(w, h)
+    if not focal_px:
+        focal_px = 1.2 * max(w, h)
+    return Camera(
+        camera_id,
+        "SIMPLE_RADIAL",
+        w,
+        h,
+        np.array([focal_px, w / 2.0, h / 2.0, 0.0]),
+    )

@@ -81,3 +81,33 @@ def test_bin_txt_cross(tmp_path, rng):
     write_model(*read_model(tmp_path / "b"), tmp_path / "t", ext=".txt")
     back = read_model(tmp_path / "t", ext=".txt")
     assert_models_equal(model, back, atol=1e-10)
+
+
+def test_camera_from_exif_fallback(tmp_path, rng):
+    import cv2
+
+    from sfd2_tpu.io.colmap_model import camera_from_exif
+
+    p = tmp_path / "x.jpg"
+    cv2.imwrite(str(p), (rng.random((120, 200, 3)) * 255).astype(np.uint8))
+    cam = camera_from_exif(p)
+    assert cam.model == "SIMPLE_RADIAL"
+    assert (cam.width, cam.height) == (200, 120)
+    assert abs(cam.params[0] - 1.2 * 200) < 1e-6  # default prior
+    assert cam.params[1] == 100 and cam.params[2] == 60
+
+
+def test_camera_from_exif_with_focal(tmp_path, rng):
+    from PIL import Image as PILImage
+    from PIL.ExifTags import TAGS
+
+    from sfd2_tpu.io.colmap_model import camera_from_exif
+
+    img = PILImage.new("RGB", (400, 300))
+    exif = img.getexif()
+    tag = {v: k for k, v in TAGS.items()}["FocalLengthIn35mmFilm"]
+    exif[tag] = 50
+    p = tmp_path / "f.jpg"
+    img.save(p, exif=exif)
+    cam = camera_from_exif(p)
+    assert abs(cam.params[0] - 50 / 36 * 400) < 1e-3
