@@ -68,3 +68,42 @@ def test_pallas_argmax_multiblock(rng):
     np.testing.assert_array_equal(np.array(nn21), sim.argmax(1))
     np.testing.assert_allclose(np.array(rmax), sim.max(2), atol=1e-5)
     np.testing.assert_allclose(np.array(cmax), sim.max(1), atol=1e-5)
+
+
+@pytest.mark.parametrize("b,n1,n2", [(1, 128, 128), (2, 128, 256)])
+def test_pallas_ratio_matches_xla(rng, b, n1, n2):
+    from sfd2_tpu.ops.matching import mutual_nn_ratio_match
+    from sfd2_tpu.ops.pallas_match import mutual_nn_ratio_match_pallas
+
+    d0 = unit(rng, b, n1, 32)
+    d1 = unit(rng, b, n2, 32)
+    v0 = np.ones((b, n1), bool)
+    v1 = np.ones((b, n2), bool)
+    ref = jax.vmap(lambda a, c, x, y: mutual_nn_ratio_match(a, c, 0.97, x, y))(
+        jnp.array(d0), jnp.array(d1), jnp.array(v0), jnp.array(v1)
+    )
+    pal = mutual_nn_ratio_match_pallas(
+        jnp.array(d0), jnp.array(d1), 0.97, jnp.array(v0), jnp.array(v1),
+        block_m=64, block_n=64, interpret=INTERPRET,
+    )
+    np.testing.assert_array_equal(np.array(pal[0]), np.array(ref[0]))
+
+
+def test_pallas_top2_multiblock(rng):
+    from sfd2_tpu.ops.pallas_match import nn_top2_pallas
+
+    b, n, c = 1, 256, 16
+    d0 = unit(rng, b, n, c)
+    d1 = unit(rng, b, n, c)
+    v = np.ones((b, n), bool)
+    m1, nn12, m2, c1, nn21, c2 = nn_top2_pallas(
+        jnp.array(d0), jnp.array(d1), jnp.array(v), jnp.array(v),
+        block_m=64, block_n=64, interpret=INTERPRET,
+    )
+    sim = np.einsum("bnc,bmc->bnm", d0, d1)
+    srt = np.sort(sim, axis=2)
+    np.testing.assert_allclose(np.array(m1), srt[:, :, -1], atol=1e-5)
+    np.testing.assert_allclose(np.array(m2), srt[:, :, -2], atol=1e-5)
+    srt0 = np.sort(sim, axis=1)
+    np.testing.assert_allclose(np.array(c1), srt0[:, -1, :], atol=1e-5)
+    np.testing.assert_allclose(np.array(c2), srt0[:, -2, :], atol=1e-5)
