@@ -31,7 +31,7 @@ from sfd2_tpu.geometry.cameras import canonicalize_params
 from sfd2_tpu.geometry.np_pose import qvec_to_rotmat
 from sfd2_tpu.io.feature_store import FeatureStore
 from sfd2_tpu.localization.ransac import pnp_ransac
-from sfd2_tpu.ops.matching import mutual_nn_match_batch
+from sfd2_tpu.ops.matching import batch_matcher
 from sfd2_tpu.sfm.map_index import MapIndex
 
 _D_BUCKETS = (1, 4, 8, 16, 32, 64, 128)
@@ -100,6 +100,8 @@ class LocalizationEngine:
 
         self._db_cache: "OrderedDict[str, tuple]" = OrderedDict()
         self._db_cache_max = 1024
+        # Fused Pallas matcher on TPU, XLA elsewhere.
+        self._matcher = batch_matcher("nnm")
 
     # ------------------------------------------------------------------
     def _db_feats(self, image_id: int):
@@ -138,7 +140,7 @@ class LocalizationEngine:
                 db_valid[i] = valid3d
         q_desc_b = np.broadcast_to(q_desc, (d_pad, k, c))
         q_valid_b = np.broadcast_to(q_valid, (d_pad, k))
-        matches, _ = mutual_nn_match_batch(
+        matches, _ = self._matcher(
             jnp.asarray(q_desc_b), jnp.asarray(db_desc),
             jnp.asarray(q_valid_b), jnp.asarray(db_valid),
         )

@@ -169,3 +169,47 @@ def mutual_nn_match_with_labels(
 # are matched per launch. (Ratio/one-way callers build their own vmap with
 # the axes they need — see sfd2_tpu/pipeline/match.py.)
 mutual_nn_match_batch = jax.jit(jax.vmap(mutual_nn_match))
+
+
+def batch_matcher(mode: str = "nnm", ratio: float = 0.9, backend: str = "auto"):
+    """Select the batched matcher implementation.
+
+    backend 'auto' uses the fused Pallas kernels on TPU when the padded
+    keypoint count is MXU-tile divisible, falling back to the XLA path
+    elsewhere (CPU tests, ragged sizes). Returned callable:
+    (desc0 [B,K,C], desc1 [B,K',C], valid0, valid1) → (matches0, scores0).
+    """
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    )
+
+    def pick_block(n):
+        for b in (1024, 512, 256, 128):
+            if n % b == 0:
+                return b
+        return None
+
+    def run(d0, d1, v0, v1):
+        if use_pallas and mode in ("nnm", "nnr"):
+            bm = pick_block(d0.shape[1])
+            bn = pick_block(d1.shape[1])
+            if bm and bn:
+                from sfd2_tpu.ops.pallas_match import (
+                    mutual_nn_match_pallas,
+                    mutual_nn_ratio_match_pallas,
+                )
+
+                if mode == "nnm":
+                    return mutual_nn_match_pallas(d0, d1, v0, v1, bm, bn)
+                return mutual_nn_ratio_match_pallas(d0, d1, ratio, v0, v1, bm, bn)
+        if mode == "nnm":
+            return jax.vmap(mutual_nn_match)(d0, d1, v0, v1)
+        if mode == "nnr":
+            return jax.vmap(lambda a, b, x, y: mutual_nn_ratio_match(a, b, ratio, x, y))(
+                d0, d1, v0, v1
+            )
+        if mode == "onn":
+            return jax.vmap(one_way_match)(d0, d1, v0, v1)
+        raise ValueError(mode)
+
+    return jax.jit(run)

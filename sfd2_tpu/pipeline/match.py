@@ -41,17 +41,9 @@ class MatchConfig:
 
 
 def _matcher_fn(conf: dict):
-    mode = conf["mode"]
-    if mode == "nnm":
-        base = lambda d0, d1, v0, v1: mutual_nn_match(d0, d1, v0, v1)
-    elif mode == "nnr":
-        ratio = conf.get("ratio", 0.9)
-        base = lambda d0, d1, v0, v1: mutual_nn_ratio_match(d0, d1, ratio, v0, v1)
-    elif mode == "onn":
-        base = lambda d0, d1, v0, v1: one_way_match(d0, d1, v0, v1)
-    else:
-        raise ValueError(mode)
-    return jax.jit(jax.vmap(base))
+    from sfd2_tpu.ops.matching import batch_matcher
+
+    return batch_matcher(conf["mode"], conf.get("ratio", 0.9))
 
 
 def match_pairs(
