@@ -36,11 +36,22 @@ def names_to_pair(name0: str, name1: str) -> str:
 
 
 class FeatureStore:
-    """Read/write per-image features (reference-compatible layout)."""
+    """Read/write per-image features (reference-compatible layout).
+
+    Append-mode opens recover from truncated files (a previous writer
+    killed mid-flush leaves an unopenable HDF5; the store is resumable,
+    so the safe recovery is to start it fresh)."""
 
     def __init__(self, path: os.PathLike, mode: str = "r"):
         self.path = Path(path)
-        self._f = h5py.File(self.path, mode)
+        try:
+            self._f = h5py.File(self.path, mode)
+        except OSError:
+            if mode in ("a", "w") and self.path.exists():
+                self.path.unlink()
+                self._f = h5py.File(self.path, mode)
+            else:
+                raise
 
     def close(self):
         self._f.close()
@@ -110,11 +121,20 @@ class FeatureStore:
 
 
 class MatchStore:
-    """Read/write pairwise matches (reference-compatible layout)."""
+    """Read/write pairwise matches (reference-compatible layout).
+
+    Like FeatureStore, append-mode opens recover from truncated files."""
 
     def __init__(self, path: os.PathLike, mode: str = "r"):
         self.path = Path(path)
-        self._f = h5py.File(self.path, mode)
+        try:
+            self._f = h5py.File(self.path, mode)
+        except OSError:
+            if mode in ("a", "w") and self.path.exists():
+                self.path.unlink()
+                self._f = h5py.File(self.path, mode)
+            else:
+                raise
 
     def close(self):
         self._f.close()

@@ -192,3 +192,16 @@ def test_localize_fallback_on_garbage_query(scene, tmp_path):
     assert res.num_inliers == -1
     top = scene["images"][scene["db_ids"][0]]
     np.testing.assert_allclose(res.qvec, top.qvec)
+
+
+def test_store_recovers_from_truncated_file(tmp_path):
+    """A killed writer leaves an unopenable HDF5; append-mode reopens must
+    recover (stores are resumable by design)."""
+    import pytest
+
+    p = tmp_path / "trunc.h5"
+    p.write_bytes(b"\x89HDF\r\n" + b"\x00" * 90)  # 96-byte truncated stub
+    with pytest.raises(OSError):
+        FeatureStore(p, "r")
+    with FeatureStore(p, "a") as fs:  # recovers by starting fresh
+        assert fs.keys() == []
