@@ -8,3 +8,10 @@ from sfd2_tpu.ops.matching import (
     one_way_match,
     similarity_topk,
 )
+from sfd2_tpu.ops.matching import batch_matcher, mutual_nn_match_with_labels
+from sfd2_tpu.ops.pallas_match import (
+    mutual_nn_match_pallas,
+    mutual_nn_ratio_match_pallas,
+    nn_argmax_pallas,
+    nn_top2_pallas,
+)
