@@ -322,18 +322,21 @@ def camera_from_exif(image_path, camera_id: int = 1) -> "Camera":
     camera from an image's EXIF focal length, falling back to COLMAP's
     default prior f = 1.2·max(w, h) when EXIF is absent."""
     from PIL import Image as PILImage
-    from PIL.ExifTags import TAGS
+
+    _EXIF_IFD = 0x8769  # Exif sub-IFD (where cameras store focal tags)
+    _F35_TAG = 0xA405  # FocalLengthIn35mmFilm
 
     with PILImage.open(image_path) as im:
         w, h = im.size
         focal_px = None
         exif = im.getexif()
         if exif:
-            named = {TAGS.get(k, k): v for k, v in exif.items()}
-            f35 = named.get("FocalLengthIn35mmFilm")
+            # Real cameras write FocalLengthIn35mmFilm into the Exif
+            # sub-IFD; check there first, then IFD0 as fallback.
+            f35 = exif.get_ifd(_EXIF_IFD).get(_F35_TAG) or exif.get(_F35_TAG)
             if f35:
-                # 35mm-equivalent → pixels via the 36mm frame width.
-                focal_px = float(f35) / 36.0 * max(w, h)
+                # COLMAP's convention: 35mm-equivalent → pixels via /35.
+                focal_px = float(f35) / 35.0 * max(w, h)
     if not focal_px:
         focal_px = 1.2 * max(w, h)
     return Camera(

@@ -35,6 +35,21 @@ def names_to_pair(name0: str, name1: str) -> str:
     return "_".join((name0.replace("/", "-"), name1.replace("/", "-")))
 
 
+def _open_h5(path: Path, mode: str):
+    """Open an HDF5 store; on append/write modes, recover ONLY from true
+    corruption (a writer killed mid-flush leaves a non-HDF5 stub) — a
+    transient open error on a valid file (e.g. lock contention from a
+    still-alive writer) must propagate, never delete the store."""
+    try:
+        return h5py.File(path, mode)
+    except OSError:
+        corrupt = path.exists() and not h5py.is_hdf5(str(path))
+        if mode in ("a", "w") and corrupt:
+            path.unlink()
+            return h5py.File(path, mode)
+        raise
+
+
 class FeatureStore:
     """Read/write per-image features (reference-compatible layout).
 
@@ -44,14 +59,7 @@ class FeatureStore:
 
     def __init__(self, path: os.PathLike, mode: str = "r"):
         self.path = Path(path)
-        try:
-            self._f = h5py.File(self.path, mode)
-        except OSError:
-            if mode in ("a", "w") and self.path.exists():
-                self.path.unlink()
-                self._f = h5py.File(self.path, mode)
-            else:
-                raise
+        self._f = _open_h5(self.path, mode)
 
     def close(self):
         self._f.close()
@@ -127,14 +135,7 @@ class MatchStore:
 
     def __init__(self, path: os.PathLike, mode: str = "r"):
         self.path = Path(path)
-        try:
-            self._f = h5py.File(self.path, mode)
-        except OSError:
-            if mode in ("a", "w") and self.path.exists():
-                self.path.unlink()
-                self._f = h5py.File(self.path, mode)
-            else:
-                raise
+        self._f = _open_h5(self.path, mode)
 
     def close(self):
         self._f.close()

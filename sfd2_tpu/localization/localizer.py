@@ -118,13 +118,20 @@ def localize_queries(
         else:  # 'clu'
             clusters = map_index.covisibility_clustering(frame_ids)
 
-        if qkey not in engine.features:
-            # Missing query features must not abort the whole run. This is
-            # a deviation from the reference (which would crash on the raw
+        try:
+            engine.features.read(qkey)
+            q_ok = True
+        except KeyError:
+            q_ok = False
+        if not q_ok:
+            # Missing/partial query features must not abort the whole run.
+            # Deviation from the reference (which would crash on the raw
             # h5py KeyError at it_loc/localize_cv2.py:677): emit the
             # reference's final-fallback pose — the top retrieved frame
             # (it_loc/localize_cv2.py:1266-1272) — so poses.txt stays
             # complete and recall counts the query as a (likely) miss.
+            # Missing DB-image features, by contrast, are a systemic
+            # misconfiguration and propagate loudly from the engine.
             logger.warning("query %s: no features in store", qname)
             top = map_index.images[clusters[0][0]]
             res = QueryResult(

@@ -171,8 +171,10 @@ def mutual_nn_match_with_labels(
 mutual_nn_match_batch = jax.jit(jax.vmap(mutual_nn_match))
 
 
+@functools.lru_cache(maxsize=None)
 def batch_matcher(mode: str = "nnm", ratio: float = 0.9, backend: str = "auto"):
-    """Select the batched matcher implementation.
+    """Select the batched matcher implementation (memoised so every
+    caller shares one jit cache per configuration).
 
     backend 'auto' uses the fused Pallas kernels on TPU when the padded
     keypoint count is MXU-tile divisible, falling back to the XLA path

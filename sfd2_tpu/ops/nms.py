@@ -64,8 +64,8 @@ def nms_fast_host(points: "np.ndarray", scores: "np.ndarray", h: int, w: int,
 
     grid = -np.ones((h, w), np.int64)
     order = np.argsort(-scores)
-    xs = np.clip(points[order, 0].astype(int), 0, w - 1)
-    ys = np.clip(points[order, 1].astype(int), 0, h - 1)
+    xs = np.clip(np.rint(points[order, 0]).astype(int), 0, w - 1)
+    ys = np.clip(np.rint(points[order, 1]).astype(int), 0, h - 1)
     kept = []
     r = dist_thresh
     for oi, (x, y) in zip(order, zip(xs, ys)):

@@ -20,11 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from sfd2_tpu.io.feature_store import FeatureStore, MatchStore
-from sfd2_tpu.ops.matching import (
-    mutual_nn_match,
-    mutual_nn_ratio_match,
-    one_way_match,
-)
 
 MATCHER_CONFS: Dict[str, dict] = {
     "NNM": {"mode": "nnm"},

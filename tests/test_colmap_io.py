@@ -99,15 +99,16 @@ def test_camera_from_exif_fallback(tmp_path, rng):
 
 def test_camera_from_exif_with_focal(tmp_path, rng):
     from PIL import Image as PILImage
-    from PIL.ExifTags import TAGS
 
     from sfd2_tpu.io.colmap_model import camera_from_exif
 
+    # Write the tag where real cameras put it: the Exif sub-IFD (0x8769).
     img = PILImage.new("RGB", (400, 300))
     exif = img.getexif()
-    tag = {v: k for k, v in TAGS.items()}["FocalLengthIn35mmFilm"]
-    exif[tag] = 50
+    sub = exif.get_ifd(0x8769)
+    sub[0xA405] = 50  # FocalLengthIn35mmFilm
     p = tmp_path / "f.jpg"
     img.save(p, exif=exif)
     cam = camera_from_exif(p)
-    assert abs(cam.params[0] - 50 / 36 * 400) < 1e-3
+    # COLMAP's /35 convention.
+    assert abs(cam.params[0] - 50 / 35 * 400) < 1e-3
