@@ -28,6 +28,7 @@ class ImageFeatures(NamedTuple):
     descriptors: np.ndarray  # [N, C] float32
     scores: np.ndarray  # [N] float32
     image_size: np.ndarray | None  # [2] (w, h) or None
+    labels: np.ndarray | None = None  # [N] int32 semantic ids (0 = none)
 
 
 def names_to_pair(name0: str, name1: str) -> str:
@@ -101,6 +102,11 @@ class FeatureStore:
         grp.create_dataset("scores", data=np.asarray(feats.scores, np.float32))
         if feats.image_size is not None:
             grp.create_dataset("image_size", data=np.asarray(feats.image_size))
+        if feats.labels is not None:
+            # Reference emits per-keypoint semantic ids alongside the
+            # features when extraction ran with a mask
+            # (``nets/extractor.py:316-321`` "labels" key).
+            grp.create_dataset("labels", data=np.asarray(feats.labels, np.int32))
 
     def read(self, name: str) -> ImageFeatures:
         grp = self._f[name]
@@ -110,10 +116,12 @@ class FeatureStore:
             desc = desc.T  # stored [C, N]
         scores = grp["scores"][()].astype(np.float32).reshape(-1)
         size = grp["image_size"][()] if "image_size" in grp else None
-        return ImageFeatures(kpts[:, :2], desc, scores, size)
+        labels = grp["labels"][()].astype(np.int32) if "labels" in grp else None
+        return ImageFeatures(kpts[:, :2], desc, scores, size, labels)
 
-    def read_padded(self, name: str, k: int):
-        """Return (keypoints [k,2], descriptors [k,C], scores [k], valid [k])."""
+    def read_padded(self, name: str, k: int, with_labels: bool = False):
+        """Return (keypoints [k,2], descriptors [k,C], scores [k], valid [k])
+        — plus labels [k] int32 (0-filled when absent) if `with_labels`."""
         f = self.read(name)
         n = min(len(f.keypoints), k)
         c = f.descriptors.shape[1]
@@ -125,6 +133,11 @@ class FeatureStore:
         de[:n] = f.descriptors[:n]
         sc[:n] = f.scores[:n]
         va[:n] = True
+        if with_labels:
+            lb = np.zeros((k,), np.int32)
+            if f.labels is not None:
+                lb[:n] = f.labels[:n]
+            return kp, de, sc, va, lb
         return kp, de, sc, va
 
 

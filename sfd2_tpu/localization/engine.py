@@ -72,6 +72,7 @@ class LocalizerConfig:
     do_covisibility_opt: bool = True
     max_keypoints: int = 4096
     num_hypotheses: int = 1024
+    matcher: str = "nnm"  # nnm | nnml (label-aware, it_loc/matcher.py:239)
 
 
 @dataclasses.dataclass
@@ -100,29 +101,35 @@ class LocalizationEngine:
 
         self._db_cache: "OrderedDict[str, tuple]" = OrderedDict()
         self._db_cache_max = 1024
-        # Fused Pallas matcher on TPU, XLA elsewhere.
-        self._matcher = batch_matcher("nnm")
+        # Fused Pallas matcher on TPU, XLA elsewhere; 'nnml' adds
+        # semantic-label compatibility masking (it_loc/matcher.py:239).
+        self._matcher = batch_matcher(self.cfg.matcher)
+        self._label_aware = self.cfg.matcher == "nnml"
 
     # ------------------------------------------------------------------
     def _db_feats(self, image_id: int):
-        """Padded (kp, desc, valid3d, p3d_rows) for a DB image, LRU-cached."""
+        """Padded (kp, desc, valid3d, p3d_rows, labels) for a DB image,
+        LRU-cached."""
         name = self.map.images[image_id].name
         if name in self._db_cache:
             self._db_cache.move_to_end(name)
         else:
             k = self.cfg.max_keypoints
-            kp, desc, _, valid = self.features.read_padded(name, k)
+            kp, desc, _, valid, labels = self.features.read_padded(
+                name, k, with_labels=True
+            )
             prow_full = self.map.p3d_rows_per_image[self.map.image_row[image_id]]
             prow = np.full(k, -1, np.int64)
             n = min(len(prow_full), k)
             prow[:n] = prow_full[:n]
             valid3d = valid & (prow >= 0)
-            self._db_cache[name] = (kp, desc, valid3d, prow)
+            self._db_cache[name] = (kp, desc, valid3d, prow, labels)
             if len(self._db_cache) > self._db_cache_max:
                 self._db_cache.popitem(last=False)
         return self._db_cache[name]
 
-    def _match_query_to_dbs(self, q_desc, q_valid, db_ids: Sequence[int]):
+    def _match_query_to_dbs(self, q_desc, q_valid, db_ids: Sequence[int],
+                            q_labels=None):
         """One batched mutual-NN launch: query vs every candidate DB bank,
         DB rows restricted to keypoints with valid 3D points
         (``feature_matching`` restriction, ``it_loc/localize_cv2.py:530``).
@@ -132,18 +139,27 @@ class LocalizationEngine:
         c = q_desc.shape[1]
         db_desc = np.zeros((d_pad, k, c), np.float32)
         db_valid = np.zeros((d_pad, k), bool)
+        db_labels = np.zeros((d_pad, k), np.int32)
         for i, iid in enumerate(db_ids):
-            _, desc, valid3d, _ = self._db_feats(iid)
+            _, desc, valid3d, _, labels = self._db_feats(iid)
             db_desc[i] = desc
+            db_labels[i] = labels
             # Reference bails out when ≤3 valid 3D rows.
             if valid3d.sum() > 3:
                 db_valid[i] = valid3d
         q_desc_b = np.broadcast_to(q_desc, (d_pad, k, c))
         q_valid_b = np.broadcast_to(q_valid, (d_pad, k))
-        matches, _ = self._matcher(
+        args = [
             jnp.asarray(q_desc_b), jnp.asarray(db_desc),
             jnp.asarray(q_valid_b), jnp.asarray(db_valid),
-        )
+        ]
+        if self._label_aware:
+            ql = q_labels if q_labels is not None else np.zeros(k, np.int32)
+            args += [
+                jnp.asarray(np.broadcast_to(ql, (d_pad, k))),
+                jnp.asarray(db_labels),
+            ]
+        matches, _ = self._matcher(*args)
         return np.asarray(matches)[: len(db_ids)]
 
     # ------------------------------------------------------------------
@@ -170,7 +186,7 @@ class LocalizationEngine:
         all_q, all_p = [], []
         per_db: Dict[int, np.ndarray] = {}
         for di, iid in enumerate(db_ids):
-            _, _, _, prow = self._db_feats(iid)
+            _, _, _, prow, _ = self._db_feats(iid)
             m = matches[di]
             qidx = np.nonzero(m >= 0)[0]
             rows = prow[m[qidx]]
@@ -271,8 +287,8 @@ class LocalizationEngine:
         else:
             raise ValueError(f"opt_type {cfg.opt_type!r} needs 'obs' or 'pos'")
 
-        kpq, q_desc, q_valid = q_feats
-        matches = self._match_query_to_dbs(q_desc, q_valid, db_ids)
+        kpq, q_desc, q_valid, q_labels = q_feats
+        matches = self._match_query_to_dbs(q_desc, q_valid, db_ids, q_labels)
         mp3d, mkpq, p3d_rows, q_ids, _ = self._assemble_2d3d(
             kpq, matches, db_ids, cfg.obs_thresh, dedup={},
             gate_pose=(qvec, tvec), cam8=cam8, radius=cfg.radius,
@@ -324,8 +340,10 @@ class LocalizationEngine:
         cam8 = canonicalize_params(model, params)
 
         k = cfg.max_keypoints
-        kpq, q_desc, _, q_valid = self.features.read_padded(qname, k)
-        q_feats = (kpq, q_desc, q_valid)
+        kpq, q_desc, _, q_valid, q_labels = self.features.read_padded(
+            qname, k, with_labels=True
+        )
+        q_feats = (kpq, q_desc, q_valid, q_labels)
         log = ""
 
         # Lazy-batched matching: the first cluster is matched alone (easy
@@ -342,7 +360,7 @@ class LocalizationEngine:
             todo = sorted(
                 {iid for c in clusters[ci:] for iid in c if iid not in match_of}
             ) if ci > 0 else sorted(set(cluster))
-            m = self._match_query_to_dbs(q_desc, q_valid, todo)
+            m = self._match_query_to_dbs(q_desc, q_valid, todo, q_labels)
             for i, iid in enumerate(todo):
                 match_of[iid] = m[i]
 

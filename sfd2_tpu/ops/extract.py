@@ -31,6 +31,7 @@ class Keypoints(NamedTuple):
     scores: jax.Array  # [B, K]
     descriptors: jax.Array  # [B, K, C] L2-normalised
     valid: jax.Array  # [B, K] bool
+    labels: jax.Array | None = None  # [B, K] int32 semantic ids (0 = none)
 
 
 def sample_descriptors(
@@ -60,6 +61,7 @@ def extract_keypoints(
     desc_map: jax.Array,
     stability: jax.Array | None = None,
     sizes: jax.Array | None = None,
+    label_map: jax.Array | None = None,
     *,
     max_keypoints: int = 4096,
     conf_threshold: float = 0.001,
@@ -77,6 +79,15 @@ def extract_keypoints(
         zero-padded to a common shape — keypoints in the padded region
         are excluded and the border filter applies at the TRUE image
         edge, so padding never consumes top-K slots.
+      label_map: optional [B, H, W] int32 per-pixel semantic ids (0 =
+        unlabeled). When given, the top-K is LABELED-FIRST — all
+        labeled candidates rank above every unlabeled one, each block
+        internally sorted by score — reproducing the semantic-mask
+        partition of ``nets/extractor.py:240-326`` (labeled keypoints
+        kept first, remainder filled with best unlabeled), and per-
+        keypoint ``labels`` are emitted for the NNML matcher
+        (``it_loc/matcher.py:239``). The reference's per-keypoint
+        python loop becomes one composite-key top-K on device.
 
     Returns `Keypoints` with K = max_keypoints padded rows per image,
     sorted by descending score (ref sorts by confidence too,
@@ -107,7 +118,18 @@ def extract_keypoints(
     keep = (scores > conf_threshold) & border_ok
     masked = jnp.where(keep, scores, -jnp.inf).reshape(b, h * w)
 
-    top_scores, top_idx = jax.lax.top_k(masked, k)
+    if label_map is None:
+        top_scores, top_idx = jax.lax.top_k(masked, k)
+    else:
+        # Composite ranking key: every labeled candidate outranks every
+        # unlabeled one (boost > global max score), blocks stay
+        # score-sorted internally. top_k on the key == the reference's
+        # two-phase labeled-first selection.
+        labeled = (label_map > 0).reshape(b, h * w)
+        boost = jnp.max(jnp.where(jnp.isfinite(masked), masked, 0.0)) + 1.0
+        key = jnp.where(labeled, masked + boost, masked)
+        _, top_idx = jax.lax.top_k(key, k)
+        top_scores = jnp.take_along_axis(masked, top_idx, axis=1)
     valid = jnp.isfinite(top_scores)
     top_scores = jnp.where(valid, top_scores, 0.0)
     kx = (top_idx % w).astype(jnp.float32)
@@ -116,4 +138,12 @@ def extract_keypoints(
 
     descs = jax.vmap(lambda d, p: sample_descriptors(d, p, (h, w)))(desc_map, xy)
     descs = jnp.where(valid[..., None], descs, 0.0)
-    return Keypoints(xy=xy, scores=top_scores, descriptors=descs, valid=valid)
+    labels = None
+    if label_map is not None:
+        labels = jnp.take_along_axis(
+            label_map.reshape(b, h * w).astype(jnp.int32), top_idx, axis=1
+        )
+        labels = jnp.where(valid, labels, 0)
+    return Keypoints(
+        xy=xy, scores=top_scores, descriptors=descs, valid=valid, labels=labels
+    )

@@ -179,7 +179,9 @@ def batch_matcher(mode: str = "nnm", ratio: float = 0.9, backend: str = "auto"):
     backend 'auto' uses the fused Pallas kernels on TPU when the padded
     keypoint count is MXU-tile divisible, falling back to the XLA path
     elsewhere (CPU tests, ragged sizes). Returned callable:
-    (desc0 [B,K,C], desc1 [B,K',C], valid0, valid1) → (matches0, scores0).
+    (desc0 [B,K,C], desc1 [B,K',C], valid0, valid1) → (matches0, scores0);
+    mode 'nnml' (label-aware, ``it_loc/matcher.py:239``) takes two extra
+    trailing args (labels0 [B,K], labels1 [B,K'] int32).
     """
     use_pallas = backend == "pallas" or (
         backend == "auto" and jax.default_backend() == "tpu"
@@ -191,7 +193,13 @@ def batch_matcher(mode: str = "nnm", ratio: float = 0.9, backend: str = "auto"):
                 return b
         return None
 
-    def run(d0, d1, v0, v1):
+    def run(d0, d1, v0, v1, l0=None, l1=None):
+        if mode == "nnml":
+            return jax.vmap(
+                lambda a, b, la, lb, x, y: mutual_nn_match_with_labels(
+                    a, b, la, lb, x, y
+                )
+            )(d0, d1, l0, l1, v0, v1)
         if use_pallas and mode in ("nnm", "nnr"):
             bm = pick_block(d0.shape[1])
             bn = pick_block(d1.shape[1])

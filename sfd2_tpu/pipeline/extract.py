@@ -88,6 +88,35 @@ def normalize_image(img: np.ndarray) -> np.ndarray:
     return (img - _RGB_MEAN) / _RGB_STD
 
 
+def load_label_map(path) -> np.ndarray:
+    """Load a semantic-mask image into a packed int32 id map.
+
+    The reference packs a BGR mask image as
+    ``id = R·65536 + G·256 + B`` with 0 = unlabeled
+    (``nets/extractor.py:252``); identical packing here.
+    Returns [H, W] int32.
+    """
+    import cv2
+
+    bgr = cv2.imread(str(path))
+    if bgr is None:
+        raise FileNotFoundError(path)
+    b = bgr[:, :, 0].astype(np.int32)
+    g = bgr[:, :, 1].astype(np.int32)
+    r = bgr[:, :, 2].astype(np.int32)
+    return r * 65536 + g * 256 + b
+
+
+def _resize_labels_nearest(labels: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
+    """Nearest-neighbour resize for id maps (ids cannot be interpolated)."""
+    h, w = hw
+    if labels.shape[:2] == (h, w):
+        return labels
+    ys = np.clip((np.arange(h) + 0.5) * labels.shape[0] / h, 0, labels.shape[0] - 1)
+    xs = np.clip((np.arange(w) + 0.5) * labels.shape[1] / w, 0, labels.shape[1] - 1)
+    return labels[ys.astype(np.int64)[:, None], xs.astype(np.int64)[None, :]]
+
+
 class Extractor:
     """Jitted batched extraction with a per-shape program cache."""
 
@@ -115,12 +144,13 @@ class Extractor:
         self.cfg = config
         self._programs: Dict[Tuple[int, int, int], callable] = {}
 
-    def _program(self, shape: Tuple[int, int, int]):
-        if shape not in self._programs:
+    def _program(self, shape: Tuple[int, int, int], with_labels: bool = False):
+        key = (shape, with_labels)
+        if key not in self._programs:
             cfg = self.cfg
 
             @jax.jit
-            def run(variables, images_u8, sizes):
+            def run(variables, images_u8, sizes, label_map=None):
                 # Images arrive as uint8 and are normalised on device:
                 # 4x fewer bytes over the host↔device link (which is the
                 # bottleneck behind a high-latency relay).
@@ -136,14 +166,15 @@ class Extractor:
                     out.descriptors,
                     out.stability,
                     sizes,
+                    label_map,
                     max_keypoints=cfg.max_keypoints,
                     conf_threshold=cfg.conf_threshold,
                     nms_radius=cfg.nms_radius,
                     border=cfg.border,
                 )
 
-            self._programs[shape] = run
-        return self._programs[shape]
+            self._programs[key] = run
+        return self._programs[key]
 
     def _pad_batch(self, images: Sequence[np.ndarray]):
         """Pad to a bucketed shape as uint8 (normalisation happens on
@@ -160,11 +191,21 @@ class Extractor:
             ).astype(np.uint8)
         return batch
 
-    def extract_batch(self, images: Sequence[np.ndarray]) -> List[ImageFeatures]:
-        """Extract from a list of float [H,W,3] images (possibly ragged)."""
+    def extract_batch(
+        self,
+        images: Sequence[np.ndarray],
+        label_maps: Sequence[np.ndarray] | None = None,
+    ) -> List[ImageFeatures]:
+        """Extract from a list of float [H,W,3] images (possibly ragged).
+
+        `label_maps`: optional per-image int32 [H,W] semantic-id maps (any
+        resolution; nearest-resized to the working resolution). Enables
+        labeled-first top-K and per-keypoint label output
+        (``nets/extractor.py:240-326``)."""
         cfg = self.cfg
+        with_labels = label_maps is not None
         all_feats: List[Dict[str, np.ndarray]] = [
-            {"kp": [], "desc": [], "score": []} for _ in images
+            {"kp": [], "desc": [], "score": [], "label": []} for _ in images
         ]
         for s in cfg.scales:
             scaled = [
@@ -182,21 +223,30 @@ class Extractor:
             sizes = jnp.asarray(
                 np.array([[im.shape[1], im.shape[0]] for im in scaled], np.int32)
             )
+            lbl = None
+            if with_labels:
+                lbl_np = np.zeros(batch.shape[:3], np.int32)
+                for i, im in enumerate(scaled):
+                    lbl_np[i, : im.shape[0], : im.shape[1]] = _resize_labels_nearest(
+                        label_maps[i], im.shape[:2]
+                    )
+                lbl = jnp.asarray(lbl_np)
+            prog = self._program(batch.shape[1:], with_labels)
             if self.mesh is not None:
                 from sfd2_tpu.parallel.mesh import put_batch, put_replicated
 
                 batch_dev = put_batch(self.mesh, jnp.asarray(batch))
                 sizes_dev = put_batch(self.mesh, sizes)
                 variables = put_replicated(self.mesh, self.variables)
-                kp = self._program(batch.shape[1:])(variables, batch_dev, sizes_dev)
+                lbl_dev = put_batch(self.mesh, lbl) if lbl is not None else None
+                kp = prog(variables, batch_dev, sizes_dev, lbl_dev)
             else:
-                kp = self._program(batch.shape[1:])(
-                    self.variables, jnp.asarray(batch), sizes
-                )
+                kp = prog(self.variables, jnp.asarray(batch), sizes, lbl)
             xy = np.asarray(kp.xy)
             scores = np.asarray(kp.scores)
             descs = np.asarray(kp.descriptors)
             valid = np.asarray(kp.valid)
+            labels = np.asarray(kp.labels) if kp.labels is not None else None
             for i, im in enumerate(images):
                 sh, sw = scaled[i].shape[:2]
                 v = valid[i] & (xy[i, :, 0] < sw) & (xy[i, :, 1] < sh)
@@ -210,17 +260,30 @@ class Extractor:
                 all_feats[i]["kp"].append(pts)
                 all_feats[i]["desc"].append(descs[i][v])
                 all_feats[i]["score"].append(scores[i][v])
+                if labels is not None:
+                    all_feats[i]["label"].append(labels[i][v])
 
         out = []
         for i, im in enumerate(images):
             kp = np.concatenate(all_feats[i]["kp"]) if all_feats[i]["kp"] else np.zeros((0, 2), np.float32)
             de = np.concatenate(all_feats[i]["desc"]) if all_feats[i]["desc"] else np.zeros((0, 128), np.float32)
             sc = np.concatenate(all_feats[i]["score"]) if all_feats[i]["score"] else np.zeros((0,), np.float32)
-            order = np.argsort(-sc)[: cfg.max_keypoints]
+            lb = (
+                np.concatenate(all_feats[i]["label"]).astype(np.int32)
+                if with_labels and all_feats[i]["label"]
+                else None
+            )
+            if lb is not None:
+                # Cross-scale merge keeps the labeled-first invariant.
+                boost = (sc.max() + 1.0) if sc.size else 1.0
+                order = np.argsort(-(sc + boost * (lb > 0)))[: cfg.max_keypoints]
+            else:
+                order = np.argsort(-sc)[: cfg.max_keypoints]
             out.append(
                 ImageFeatures(
                     kp[order], de[order], sc[order],
                     np.array([im.shape[1], im.shape[0]]),
+                    lb[order] if lb is not None else None,
                 )
             )
         return out
@@ -231,20 +294,30 @@ class Extractor:
         names: Iterable[str],
         store: FeatureStore,
         skip_existing: bool = True,
+        mask_dir=None,
+        mask_suffix: str = ".png",
     ) -> int:
         """Extract `names` (relative paths) into `store`; resumable like the
-        reference (existing groups skipped). Returns #extracted."""
+        reference (existing groups skipped). Returns #extracted.
+
+        `mask_dir`: optional directory of per-image semantic-mask images
+        (same relative path with extension replaced by `mask_suffix`);
+        when given, extraction is labeled-first and a ``labels`` dataset
+        is stored per image (consumed by the NNML matcher)."""
         cfg = self.cfg
         todo = [n for n in names if not (skip_existing and n in store)]
         count = 0
         for i in range(0, len(todo), cfg.batch_size):
             chunk = todo[i : i + cfg.batch_size]
-            images, orig_sizes = [], []
+            images, orig_sizes, lmaps = [], [], []
             for n in chunk:
                 im, (w0, h0) = load_image(Path(image_dir) / n, cfg.resize_max)
                 images.append(im)
                 orig_sizes.append((w0, h0))
-            feats = self.extract_batch(images)
+                if mask_dir is not None:
+                    mpath = (Path(mask_dir) / n).with_suffix(mask_suffix)
+                    lmaps.append(load_label_map(mpath))
+            feats = self.extract_batch(images, lmaps if mask_dir is not None else None)
             for n, f, (w0, h0), im in zip(chunk, feats, orig_sizes, images):
                 scale = np.array(
                     [w0 / im.shape[1], h0 / im.shape[0]], np.float32
@@ -253,7 +326,9 @@ class Extractor:
                 kp = (f.keypoints + 0.5) * scale - 0.5
                 store.write(
                     n,
-                    ImageFeatures(kp, f.descriptors, f.scores, np.array([w0, h0])),
+                    ImageFeatures(
+                        kp, f.descriptors, f.scores, np.array([w0, h0]), f.labels
+                    ),
                     as_half=cfg.as_half,
                 )
                 count += 1

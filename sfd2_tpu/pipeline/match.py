@@ -25,6 +25,10 @@ MATCHER_CONFS: Dict[str, dict] = {
     "NNM": {"mode": "nnm"},
     "NNR": {"mode": "nnr", "ratio": 0.9},
     "ONN": {"mode": "onn"},
+    # Label-aware mutual NN (``it_loc/matcher.py:24,239``): features carry
+    # semantic ids from mask-aware extraction; a labeled feature never
+    # matches a differently-labeled one.
+    "NNML": {"mode": "nnml"},
 }
 
 
@@ -62,12 +66,13 @@ def match_pairs(
             continue
         todo.append((n0, n1))
 
+    with_labels = conf["mode"] == "nnml"
     cache: Dict[str, tuple] = {}
 
     def feats(name):
         if name not in cache:
-            kp, de, sc, va = features.read_padded(name, k)
-            cache[name] = (de, va, int(va.sum()))
+            kp, de, sc, va, lb = features.read_padded(name, k, with_labels=True)
+            cache[name] = (de, va, int(va.sum()), lb)
         return cache[name]
 
     count = 0
@@ -78,12 +83,17 @@ def match_pairs(
         d1 = np.zeros((len(chunk), k, c), np.float32)
         v0 = np.zeros((len(chunk), k), bool)
         v1 = np.zeros((len(chunk), k), bool)
+        l0 = np.zeros((len(chunk), k), np.int32)
+        l1 = np.zeros((len(chunk), k), np.int32)
         for bi, (n0, n1) in enumerate(chunk):
-            de0, va0, _ = feats(n0)
-            de1, va1, _ = feats(n1)
-            d0[bi], v0[bi] = de0, va0
-            d1[bi], v1[bi] = de1, va1
-        m, s = fn(jnp.asarray(d0), jnp.asarray(d1), jnp.asarray(v0), jnp.asarray(v1))
+            de0, va0, _, lb0 = feats(n0)
+            de1, va1, _, lb1 = feats(n1)
+            d0[bi], v0[bi], l0[bi] = de0, va0, lb0
+            d1[bi], v1[bi], l1[bi] = de1, va1, lb1
+        args = [jnp.asarray(d0), jnp.asarray(d1), jnp.asarray(v0), jnp.asarray(v1)]
+        if with_labels:
+            args += [jnp.asarray(l0), jnp.asarray(l1)]
+        m, s = fn(*args)
         m = np.asarray(m)
         s = np.asarray(s)
         for bi, (n0, n1) in enumerate(chunk):

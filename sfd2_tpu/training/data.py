@@ -221,6 +221,52 @@ class PrecomputedPairBuilder:
         )
 
 
+@dataclasses.dataclass
+class TransformedPairBuilder(PrecomputedPairBuilder):
+    """Jitter an EXISTING pair: img2 is re-warped by a fresh random
+    homography (the ground-truth flow composed through it) plus
+    photometric jitter/noise — ``TransformedPairs``
+    (``datasets/pair_dataset.py:182-229``): the reference applies `trf`
+    to img_b and maps ``aflow`` through ``persp_apply(trf, ·)``.
+
+    Because PairLoader threads any `PrecomputedPairBuilder` subclass
+    straight through, dropping this in augments still/optical-flow pair
+    datasets without new loader plumbing."""
+
+    noise: float = 0.05
+    jitter: bool = True
+    transforms: tuple = ()
+
+    def __post_init__(self):
+        if not self.transforms:
+            self.transforms = DEFAULT_PAIR_TRANSFORMS
+
+    def build_from_pair(self, rng, img1, img2, aflow, mask) -> PairSample:
+        import cv2
+
+        h, w = img2.shape[:2]
+        hmat = sample_homography(rng, w, h, self.transforms)
+        img2w = cv2.warpPerspective(img2, hmat.astype(np.float64), (w, h))
+        if self.jitter:
+            img2w = color_jitter(rng, img2w)
+        if self.noise:
+            img2w = pixel_noise(rng, img2w, self.noise)
+        # Compose the ground truth: new flow = H ∘ old flow.
+        flow2 = persp_apply(hmat, aflow.reshape(-1, 2)).reshape(aflow.shape)
+        flow2 = flow2.astype(np.float32)
+        valid = np.asarray(mask, bool) & np.isfinite(aflow).all(-1)
+        valid &= (
+            (flow2[..., 0] >= 0)
+            & (flow2[..., 0] < w)
+            & (flow2[..., 1] >= 0)
+            & (flow2[..., 1] < h)
+        )
+        return crop_pair(
+            rng, img1, img2w, np.where(valid[..., None], flow2, np.nan),
+            valid, self.crop, self.n_crop_tries,
+        )
+
+
 def collate(samples: Sequence[PairSample]) -> dict:
     """Stack samples into batch arrays (``tools/dataloader.py:328``)."""
     return {

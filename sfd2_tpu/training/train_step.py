@@ -86,6 +86,13 @@ def warp_seg_forward(seg1: jax.Array, aflow: jax.Array):
     return seg2, mask2
 
 
+def lr_at_step(cfg: TrainConfig, step: int) -> float:
+    """Host-side mirror of the optimiser schedule (for logging)."""
+    if cfg.decay_rate >= 1.0 or cfg.decay_iter <= 0:
+        return float(cfg.lr)
+    return float(min(cfg.lr * cfg.decay_rate ** max(step - cfg.decay_iter, 0), cfg.lr))
+
+
 def make_optimizer(cfg: TrainConfig):
     """Adam + decoupled weight decay with the reference's exponential LR
     decay min(lr·rate^(step−decay_iter), lr)."""

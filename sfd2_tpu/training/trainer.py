@@ -110,6 +110,12 @@ class Trainer:
         self.run_dir.mkdir(parents=True, exist_ok=True)
         self.log_path = self.run_dir / "log.txt"
         self.metrics_path = self.run_dir / "metrics.jsonl"
+        # TensorBoard-compatible scalar events next to log.txt, as the
+        # reference's tensorboardX SummaryWriter does (trainer.py:96,
+        # 218-230) — self-contained writer, no TF import.
+        from sfd2_tpu.utils.tb_writer import ScalarEventWriter
+
+        self.tb = ScalarEventWriter(self.run_dir / "tb")
         self.start_epoch = 0
         self.best_loss = float("inf")
 
@@ -179,6 +185,14 @@ class Trainer:
                     + " ".join(f"{k}={v:.4f}" for k, v in vals.items())
                 )
                 self._metrics({"epoch": epoch, "it": it, **vals})
+                step = epoch * self.cfg.iters_per_epoch + it
+                for k, v in vals.items():
+                    self.tb.add_scalar(f"train/{k}", v, step)
+                from sfd2_tpu.training.train_step import lr_at_step
+
+                self.tb.add_scalar(
+                    "train/lr", lr_at_step(self.cfg.train, int(self.state.step)), step
+                )
         mean_loss = float(np.mean(losses)) if losses else float("nan")
         self._log(f"epoch {epoch} done in {time.time()-t0:.1f}s mean_loss={mean_loss:.4f}")
         return mean_loss
