@@ -75,6 +75,10 @@ def reliability_loss(
 @dataclasses.dataclass(frozen=True)
 class SegLossConfig:
     det_loss: str = "ce"  # ce | l1 | bce
+    # Descriptor-loss family (reference --loss knob, train.py:80,195):
+    # wapv2 = ReliabilityLoss over the sampler (shipped config),
+    # tripletv1/v2/v3 = nets/reliability_loss.py:132/514/369.
+    desc_loss: str = "wapv2"
     seg_desc_loss_fn: str = "2mf"  # 2mf | 2m | wap
     use_pred_score_desc: bool = True
     seg_det: bool = True
@@ -258,6 +262,74 @@ def _seg_desc_loss(cfg: SegLossConfig, inp: SegLossInputs) -> jax.Array:
     return d12  # '2m'
 
 
+def _unsup_desc_loss(key, cfg: SegLossConfig, inp: SegLossInputs, sampler,
+                     rel: jax.Array, b: int) -> jax.Array:
+    """Dispatch the descriptor-loss family (reference ``--loss`` knob)."""
+    desc1, desc2 = inp.desc[:b], inp.desc[b:]
+    rel1, rel2 = rel[:b], rel[b:]
+    if cfg.desc_loss == "wapv2":
+        return reliability_loss(
+            key, desc1, desc2, rel1, rel2, inp.aflow, sampler,
+            base=cfg.base, nq=cfg.nq,
+        )
+
+    # Triplet variants operate on the descriptor grid; map the full-res
+    # reliability / flow / seg down to it (the v1/v3 reference runs on
+    # full-res R2D2 maps — coordinates downscale exactly like the DS
+    # sampler does).
+    from sfd2_tpu.training.extra_losses import (
+        triplet_loss_d2net,
+        triplet_loss_v1,
+        triplet_loss_v3,
+    )
+    from sfd2_tpu.training.sampler import downscale_positions, upscale_positions
+
+    if cfg.desc_loss == "tripletv2":
+        return triplet_loss_d2net(
+            desc1, desc2, rel1, rel2, inp.aflow,
+            margin=cfg.margin, scaling_step=getattr(sampler, "scaling_step", 2),
+        )
+
+    step = getattr(sampler, "scaling_step", 2)
+    h, w = desc1.shape[1], desc1.shape[2]
+    hf, wf = rel.shape[1], rel.shape[2]
+    yc = jnp.clip(
+        upscale_positions(jnp.arange(h, dtype=jnp.float32), step).astype(jnp.int32),
+        0, hf - 1,
+    )
+    xc = jnp.clip(
+        upscale_positions(jnp.arange(w, dtype=jnp.float32), step).astype(jnp.int32),
+        0, wf - 1,
+    )
+
+    def ds_map(m):  # [2B|B, H, W] → sampled at the desc grid
+        return m[:, yc][:, :, xc]
+
+    rel1_c, rel2_c = ds_map(rel1), ds_map(rel2)
+    aflow_c = downscale_positions(ds_map(inp.aflow), step)
+    border = max(2, min(16, h // 4))
+    if cfg.desc_loss == "tripletv1":
+        return triplet_loss_v1(
+            desc1, desc2, rel1_c, rel2_c, aflow_c,
+            step=max(1, 8 // 2**step), margin=cfg.margin, border=border,
+        )
+    if cfg.desc_loss == "tripletv3":
+        if inp.seg is None:
+            raise ValueError("tripletv3 needs semantic labels (inp.seg)")
+        seg_c = ds_map(inp.seg)
+        segm = (
+            ds_map(inp.seg_mask)
+            if inp.seg_mask is not None
+            else jnp.ones_like(seg_c, bool)
+        )
+        return triplet_loss_v3(
+            desc1, desc2, rel1_c, rel2_c, aflow_c,
+            seg_c[:b], seg_c[b:], segm[:b], segm[b:],
+            margin=cfg.margin, border=border,
+        )
+    raise ValueError(f"unknown desc_loss {cfg.desc_loss!r}")
+
+
 def seg_loss(
     key: jax.Array,
     inp: SegLossInputs,
@@ -275,17 +347,7 @@ def seg_loss(
     # Reliability map fed to the AP loss (``nets/losses.py:340-346``).
     rel_src = inp.score if cfg.use_pred_score_desc else inp.gt_score
     rel = jnp.clip(jnp.clip(rel_src, 5e-4, 1.0) * 4.0 + 0.5, 5e-4, 1.0)
-    desc = reliability_loss(
-        key,
-        inp.desc[:b],
-        inp.desc[b:],
-        rel[:b],
-        rel[b:],
-        inp.aflow,
-        sampler,
-        base=cfg.base,
-        nq=cfg.nq,
-    )
+    desc = _unsup_desc_loss(key, cfg, inp, sampler, rel, b)
     d["unsup_desc_loss"] = desc
     total = total + desc * cfg.w_desc
 
