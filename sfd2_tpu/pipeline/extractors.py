@@ -9,11 +9,15 @@ conf registry. Implemented plug-ins:
   r2d2        — Quad_L2Net_ConfCFS reliability×repeatability scoring
                 (``hloc/extractors/r2d2.py``)
   sift        — OpenCV SIFT (``hloc/extractors/sift.py``)
+  d2net       — VGG16-conv4_3 dense features + hard detection
+                (``hloc/extractors/d2net.py``; models/baselines.py)
+  caps        — SIFT keypoints + ResUNet coarse‖fine descriptors
+                (``hloc/extractors/caps.py``)
+  sgd2        — L2SegNetNB full-res score/desc (``hloc/extractors/sgd2.py``)
 
-The reference's remaining baselines (d2net, caps, dir global descriptors,
-the sgd2 prototypes) pull external third-party checkpoints/repos and are
-intentionally not vendored; the registry raises a descriptive error for
-them.
+Checkpoints for the external baselines are not vendored (weights load via
+the converters in models/convert_baselines.py when provided); `dir`
+(global retrieval descriptors) stays a documented-unsupported stub.
 """
 
 from __future__ import annotations
@@ -30,10 +34,8 @@ from sfd2_tpu.ops.extract import extract_keypoints
 from sfd2_tpu.ops.nms import simple_nms
 
 _UNSUPPORTED = {
-    "d2net": "external D2-Net weights not vendored",
-    "caps": "external CAPS weights not vendored",
-    "dir": "global-descriptor DIR model not vendored",
-    "sgd2": "SGD2 prototype superseded by sfd2",
+    "dir": "global-descriptor DIR model not vendored (retrieval descriptors "
+           "are consumed from files, not computed — README deviations)",
 }
 
 
@@ -120,6 +122,100 @@ def make_sift(cfg: BaselineConfig = BaselineConfig()):
     return extract
 
 
+def make_d2net(cfg: BaselineConfig = BaselineConfig(), variables=None):
+    """D2-Net (``hloc/extractors/d2net.py``): caffe-normalised BGR input,
+    VGG16-conv4_3 dense features (stride 4), hard detection (channel max
+    ∧ spatial local max ∧ edge filter), descriptors = L2-normalised
+    feature vectors at fired cells."""
+    from sfd2_tpu.models.baselines import D2NetDense, d2net_hard_detect
+
+    model = D2NetDense(use_relu=True)
+    if variables is None:
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    # Caffe mean, BGR order (``d2net.py:43-45``).
+    mean_bgr = np.array([103.939, 116.779, 123.68], np.float32)
+
+    def extract(image: np.ndarray) -> ImageFeatures:
+        bgr = image[..., ::-1] * 255.0 - mean_bgr
+        feats = model.apply(variables, jnp.asarray(bgr[None]))
+        fired, score = d2net_hard_detect(feats)
+        fired_np = np.asarray(fired[0])
+        score_np = np.asarray(score[0])
+        f_np = np.asarray(feats[0])
+        ys, xs = np.nonzero(fired_np)
+        sc = score_np[ys, xs]
+        order = np.argsort(-sc)[: cfg.max_keypoints]
+        ys, xs, sc = ys[order], xs[order], sc[order]
+        de = f_np[ys, xs]
+        de /= np.maximum(np.linalg.norm(de, axis=1, keepdims=True), 1e-12)
+        # fmap stride 4; upscale_positions ×2 twice: p·4 + 1.5.
+        xy = np.stack([xs * 4.0 + 1.5, ys * 4.0 + 1.5], -1).astype(np.float32)
+        return ImageFeatures(xy, de, sc.astype(np.float32), None)
+
+    return extract
+
+
+def make_caps(cfg: BaselineConfig = BaselineConfig(), variables=None):
+    """CAPS (``hloc/extractors/caps.py:380-443``): OpenCV SIFT detection
+    (nOctaveLayers 5, contrast 0.03, edge 8) + ResUNet coarse‖fine
+    descriptors sampled at the keypoints."""
+    import cv2
+
+    from sfd2_tpu.models.baselines import CapsResUNet, caps_sample_descriptors
+
+    model = CapsResUNet()
+    if variables is None:
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sift = cv2.SIFT_create(nOctaveLayers=5, contrastThreshold=0.03,
+                           edgeThreshold=8)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def extract(image: np.ndarray) -> ImageFeatures:
+        gray = cv2.cvtColor(
+            (np.clip(image, 0, 1) * 255).astype(np.uint8), cv2.COLOR_RGB2GRAY
+        )
+        kps = sift.detect(gray, None)
+        if not kps:
+            return ImageFeatures(
+                np.zeros((0, 2), np.float32), np.zeros((0, 256), np.float32),
+                np.zeros(0, np.float32), None,
+            )
+        xy = np.array([k.pt for k in kps], np.float32)
+        sc = np.array([k.response for k in kps], np.float32)
+        order = np.argsort(-sc)[: cfg.max_keypoints]
+        xy, sc = xy[order], sc[order]
+        norm = (image - mean) / std
+        coarse, fine = model.apply(variables, jnp.asarray(norm[None]))
+        de = np.asarray(
+            caps_sample_descriptors(
+                coarse[0], fine[0], jnp.asarray(xy), image.shape[:2]
+            )
+        )
+        return ImageFeatures(xy, de, sc, None)
+
+    return extract
+
+
+def make_sgd2(cfg: BaselineConfig = BaselineConfig(), variables=None):
+    """SGD2 (``hloc/extractors/sgd2.py:850``): L2SegNetNB full-resolution
+    sigmoid score + 128-D descriptors, ImageNet normalisation."""
+    from sfd2_tpu.models.baselines import L2SegNetNB
+
+    model = L2SegNetNB(outdim=128)
+    if variables is None:
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def extract(image: np.ndarray) -> ImageFeatures:
+        norm = (image - mean) / std
+        score, desc = model.apply(variables, jnp.asarray(norm[None]))
+        return _topk_from_maps(score, desc, cfg, True)
+
+    return extract
+
+
 def make_sfd2(cfg: BaselineConfig = BaselineConfig(), variables=None):
     from sfd2_tpu.models.sfd2 import ResSegNetV2
     from sfd2_tpu.pipeline.extract import ExtractionConfig, Extractor
@@ -146,6 +242,9 @@ EXTRACTOR_REGISTRY: Dict[str, Callable] = {
     "superpoint": make_superpoint,
     "r2d2": make_r2d2,
     "sift": make_sift,
+    "d2net": make_d2net,
+    "caps": make_caps,
+    "sgd2": make_sgd2,
 }
 
 

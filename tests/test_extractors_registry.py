@@ -4,7 +4,9 @@ import pytest
 from sfd2_tpu.pipeline.extractors import BaselineConfig, dynamic_load
 
 
-@pytest.mark.parametrize("name", ["superpoint", "r2d2", "sift", "sfd2"])
+@pytest.mark.parametrize(
+    "name", ["superpoint", "r2d2", "sift", "sfd2", "d2net", "caps", "sgd2"]
+)
 def test_extractor_contract(name, rng):
     cfg = BaselineConfig(max_keypoints=128, conf_threshold=1e-5)
     extract = dynamic_load(name, cfg)
@@ -15,14 +17,17 @@ def test_extractor_contract(name, rng):
     assert len(f.keypoints) <= 128
     if len(f.keypoints):
         assert np.all(f.keypoints[:, 0] < 128 + 32)  # padded area tolerance
-        np.testing.assert_allclose(
-            np.linalg.norm(f.descriptors, axis=1), 1.0, atol=1e-3
-        )
+        if name != "caps":  # CAPS descriptors are raw coarse‖fine concat
+            np.testing.assert_allclose(
+                np.linalg.norm(f.descriptors, axis=1), 1.0, atol=1e-3
+            )
+        else:
+            assert f.descriptors.shape[1] == 256
 
 
 def test_unsupported_raises():
     with pytest.raises(NotImplementedError):
-        dynamic_load("d2net")
+        dynamic_load("dir")
     with pytest.raises(KeyError):
         dynamic_load("nope")
 
