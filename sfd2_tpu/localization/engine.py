@@ -90,10 +90,15 @@ class LocalizationEngine:
         map_index: MapIndex,
         feature_store: FeatureStore,
         config: LocalizerConfig = LocalizerConfig(),
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh with a 'data' axis — the
+        per-query candidate DB bank is sharded over it and matched with
+        the shard_map program (SURVEY §7.1), one shard per device."""
         self.map = map_index
         self.features = feature_store
         self.cfg = config
+        self.mesh = mesh
         # LRU-bounded cache: padded DB features are ~2 MB each (K=4096,
         # C=128), an unbounded dict would grow to tens of GB over a full
         # benchmark query set.
@@ -135,6 +140,9 @@ class LocalizationEngine:
         (``feature_matching`` restriction, ``it_loc/localize_cv2.py:530``).
         Returns matches [D, K] (−1 sentinel)."""
         d_pad = _bucket(len(db_ids))
+        if self.mesh is not None:
+            n_dev = self.mesh.shape["data"]
+            d_pad = ((d_pad + n_dev - 1) // n_dev) * n_dev
         k = self.cfg.max_keypoints
         c = q_desc.shape[1]
         db_desc = np.zeros((d_pad, k, c), np.float32)
@@ -147,6 +155,18 @@ class LocalizationEngine:
             # Reference bails out when ≤3 valid 3D rows.
             if valid3d.sum() > 3:
                 db_valid[i] = valid3d
+        ql = q_labels if q_labels is not None else np.zeros(k, np.int32)
+        if self.mesh is not None:
+            from sfd2_tpu.ops.sharded_match import query_vs_sharded_bank
+
+            matches, _ = query_vs_sharded_bank(
+                self.mesh,
+                jnp.asarray(q_desc), jnp.asarray(db_desc),
+                jnp.asarray(q_valid), jnp.asarray(db_valid),
+                jnp.asarray(ql) if self._label_aware else None,
+                jnp.asarray(db_labels) if self._label_aware else None,
+            )
+            return np.asarray(matches)[: len(db_ids)]
         q_desc_b = np.broadcast_to(q_desc, (d_pad, k, c))
         q_valid_b = np.broadcast_to(q_valid, (d_pad, k))
         args = [
@@ -154,7 +174,6 @@ class LocalizationEngine:
             jnp.asarray(q_valid_b), jnp.asarray(db_valid),
         ]
         if self._label_aware:
-            ql = q_labels if q_labels is not None else np.zeros(k, np.int32)
             args += [
                 jnp.asarray(np.broadcast_to(ql, (d_pad, k))),
                 jnp.asarray(db_labels),

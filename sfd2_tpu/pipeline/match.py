@@ -50,10 +50,24 @@ def match_pairs(
     pairs: Sequence[Tuple[str, str]],
     store: MatchStore,
     cfg: MatchConfig = MatchConfig(),
+    mesh=None,
 ) -> int:
-    """Match all pairs into `store`; resumable; returns #matched."""
+    """Match all pairs into `store`; resumable; returns #matched.
+
+    `mesh`: optional jax.sharding.Mesh with a 'data' axis — the pair
+    batch is sharded over it (SURVEY §7.1 DB-DB matching across chips);
+    batches are padded to a multiple of the axis size."""
     conf = MATCHER_CONFS[cfg.matcher]
-    fn = _matcher_fn(conf)
+    if mesh is not None:
+        from sfd2_tpu.ops.sharded_match import make_sharded_pair_matcher
+
+        fn = make_sharded_pair_matcher(
+            mesh, conf["mode"], conf.get("ratio", 0.9)
+        )
+        n_dev = mesh.shape["data"]
+    else:
+        fn = _matcher_fn(conf)
+        n_dev = 1
     k = cfg.max_keypoints
 
     todo = []
@@ -79,12 +93,14 @@ def match_pairs(
     for i in range(0, len(todo), cfg.batch_size):
         chunk = todo[i : i + cfg.batch_size]
         c = feats(chunk[0][0])[0].shape[1]
-        d0 = np.zeros((len(chunk), k, c), np.float32)
-        d1 = np.zeros((len(chunk), k, c), np.float32)
-        v0 = np.zeros((len(chunk), k), bool)
-        v1 = np.zeros((len(chunk), k), bool)
-        l0 = np.zeros((len(chunk), k), np.int32)
-        l1 = np.zeros((len(chunk), k), np.int32)
+        # Pad the batch so the pair axis shards evenly over the mesh.
+        bsz = ((len(chunk) + n_dev - 1) // n_dev) * n_dev
+        d0 = np.zeros((bsz, k, c), np.float32)
+        d1 = np.zeros((bsz, k, c), np.float32)
+        v0 = np.zeros((bsz, k), bool)
+        v1 = np.zeros((bsz, k), bool)
+        l0 = np.zeros((bsz, k), np.int32)
+        l1 = np.zeros((bsz, k), np.int32)
         for bi, (n0, n1) in enumerate(chunk):
             de0, va0, _, lb0 = feats(n0)
             de1, va1, _, lb1 = feats(n1)
