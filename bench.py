@@ -1,24 +1,38 @@
-"""Benchmark: end-to-end extraction + matching throughput on one chip.
+"""Benchmark: per-stage device timings for the full localization pipeline
+on one chip, plus an MFU estimate for the extraction forward.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Headline metric: localization-pipeline frames/s/chip — full-res
-(1024×1024) ResSegNetV2 forward + NMS + top-4096 extraction, plus the
-per-query matching of the Aachen benchmark path (mutual-NN vs 50
-candidate DB frames, K=4096, C=128). The reference publishes no speed
-numbers (BASELINE.md → published: {}), so vs_baseline is 1.0 by
-definition until a measured reference wall-clock exists.
+Headline metric: frames/s/chip over the north-star pipeline
+(BASELINE.md: "extraction + matching + BA") —
+  per-frame time = extract + match(50 candidates) + PnP-RANSAC
+                 + covisibility refinement PnP + amortised map BA/frame.
+The BA stage builds + solves a Schur/CG bundle adjustment over a 50-frame
+synthetic map and its cost is divided by the frame count (map building is
+per-map work, not per-query; the reference runs COLMAP point_triangulator
+once per dataset).
+
+The reference publishes no speed numbers, so vs_baseline compares against
+the PREVIOUS round's BENCH_r*.json (round-over-round ledger); 1.0 when no
+prior bench exists.
 
 Timing method: the sandbox TPU sits behind a high-latency relay
-(~50-100 ms RPC round-trip), so each stage processes a BATCH of frames
-per dispatch (amortising the round-trip) and is fenced by a small host
-transfer; the median over repeated calls is reported.
+(~50-100 ms RPC round-trip), so each stage processes a BATCH of items
+per dispatch (amortising the round-trip), is fenced by a small host
+transfer, and the relay RTT (measured with a trivial op) is subtracted;
+medians over repeats are reported.
+
+MFU: extraction FLOPs come from XLA's compiled cost analysis; the
+denominator is the chip's measured large-GEMM rate (a 4096³ matmul timed
+the same way), so `mfu` = achieved FLOP/s ÷ measured-GEMM FLOP/s.
 """
 
 from __future__ import annotations
 
+import glob
 import json
+import re
 import statistics
 import time
 import traceback
@@ -34,6 +48,24 @@ def _timed_per_item(fn, fence, items_per_call, iters=3):
         fence(out)
         ts.append(time.perf_counter() - t0)
     return statistics.median(ts) / items_per_call
+
+
+def _prev_bench_value() -> float | None:
+    """Latest BENCH_r*.json headline value > 0 (round ledger)."""
+    best = None
+    for p in glob.glob("BENCH_r*.json"):
+        m = re.search(r"BENCH_r(\d+)\.json", p)
+        if not m:
+            continue
+        try:
+            data = json.loads(open(p).read())
+            parsed = data.get("parsed", data)
+            v = float(parsed.get("value", 0.0))
+        except Exception:
+            continue
+        if v > 0 and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), v)
+    return best[1] if best else None
 
 
 def run_bench():
@@ -53,10 +85,42 @@ def run_bench():
     c = 128
     n_db = 50  # candidate DB frames per query (test_aachenv_1_1 NetVLAD top-50)
     ex_batch = 8 if on_tpu else 1
-    # The Pallas matcher never materialises the K×K similarity in HBM, so
-    # all 50 pairs fit in one launch on TPU; the XLA path chunks.
     match_chunk = n_db if on_tpu else 10
 
+    key = jax.random.PRNGKey(0)
+
+    # Relay RTT: every fenced dispatch pays a fixed host↔device round-trip.
+    tiny = jnp.zeros((8, 128))
+    tiny_f = jax.jit(lambda x, s: x + s)
+    np.asarray(tiny_f(tiny, 0.0)[0, :4])
+    rtts = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        np.asarray(tiny_f(tiny, float(i + 1))[0, :4])
+        rtts.append(time.perf_counter() - t0)
+    rtt = statistics.median(rtts)
+
+    # --- measured large-GEMM rate (MFU denominator) ---------------------
+    gemm_n = 4096 if on_tpu else 512
+    a = jax.random.normal(jax.random.fold_in(key, 1), (gemm_n, gemm_n), jnp.float32)
+    b = jax.random.normal(jax.random.fold_in(key, 2), (gemm_n, gemm_n), jnp.float32)
+    reps = 8 if on_tpu else 1
+
+    @jax.jit
+    def gemm_loop(a, b):
+        x = a
+        for _ in range(reps):
+            x = jnp.dot(x, b)
+        return x
+
+    np.asarray(gemm_loop(a, b)[0, :4])
+    t_gemm = _timed_per_item(
+        lambda: gemm_loop(a, b), lambda o: np.asarray(o[0, :4]), 1
+    )
+    gemm_flops_total = reps * 2 * gemm_n**3
+    gemm_rate = gemm_flops_total / max(t_gemm - rtt, 1e-6)
+
+    # --- extraction -----------------------------------------------------
     model = ResSegNetV2(require_stability=True)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32))
 
@@ -68,23 +132,15 @@ def run_bench():
             max_keypoints=k, conf_threshold=0.001,
         )
 
-    rng = np.random.default_rng(0)
-
-    # Relay RTT: every fenced dispatch pays a fixed host↔device round-trip
-    # (~30-100 ms through the sandbox tunnel, ~µs on directly-attached
-    # TPUs). Measure it with a trivial op and report RTT-corrected device
-    # times alongside the raw wall-clock.
-    tiny = jnp.zeros((8, 128))
-    tiny_f = jax.jit(lambda x, s: x + s)
-    np.asarray(tiny_f(tiny, 0.0)[0, :4])
-    rtts = []
-    for i in range(5):
-        t0 = time.perf_counter()
-        np.asarray(tiny_f(tiny, float(i + 1))[0, :4])
-        rtts.append(time.perf_counter() - t0)
-    rtt = statistics.median(rtts)
-
-    imgs = jnp.asarray(rng.normal(size=(ex_batch, h, w, 3)).astype(np.float32))
+    imgs = jax.random.normal(jax.random.fold_in(key, 3), (ex_batch, h, w, 3), jnp.float32)
+    # FLOPs from XLA's own cost analysis of the compiled program.
+    try:
+        cost = jax.jit(extract).lower(variables, imgs).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        extract_flops = float(cost.get("flops", 0.0))
+    except Exception:
+        extract_flops = 0.0
     np.asarray(extract(variables, imgs).scores)  # compile + warm
 
     t_extract = _timed_per_item(
@@ -93,12 +149,19 @@ def run_bench():
         ex_batch,
     )
     t_extract_dev = max(t_extract - rtt / ex_batch, 1e-6)
+    mfu = (
+        (extract_flops / ex_batch) / t_extract_dev / gemm_rate
+        if extract_flops and gemm_rate
+        else 0.0
+    )
 
-    qd = rng.normal(size=(match_chunk, k, c)).astype(np.float32)
-    dd = rng.normal(size=(match_chunk, k, c)).astype(np.float32)
-    qd /= np.linalg.norm(qd, axis=-1, keepdims=True)
-    dd /= np.linalg.norm(dd, axis=-1, keepdims=True)
-    qdj, ddj = jnp.asarray(qd), jnp.asarray(dd)
+    # --- matching (50 candidate DB frames per query) --------------------
+    def unit(key, shape):
+        d = jax.random.normal(key, shape, jnp.float32)
+        return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    qdj = unit(jax.random.fold_in(key, 4), (match_chunk, k, c))
+    ddj = unit(jax.random.fold_in(key, 5), (match_chunk, k, c))
 
     if on_tpu:
         match = lambda: mutual_nn_match_pallas(qdj, ddj, None, None)[0]
@@ -109,22 +172,129 @@ def run_bench():
         matcher_name = "xla"
     np.asarray(match()[:, :4])  # compile + warm
     t_pair = _timed_per_item(match, lambda o: np.asarray(o[:, :4]), match_chunk)
-    t_match = t_pair * n_db
     t_match_dev = max(t_pair * match_chunk - rtt, 1e-6) / match_chunk * n_db
 
-    frame_time = t_extract_dev + t_match_dev
+    # --- PnP-RANSAC + covisibility-refinement PnP -----------------------
+    from sfd2_tpu.geometry.cameras import canonicalize_params, project_points
+    from sfd2_tpu.localization.pnp import refine_pose_lm
+    from sfd2_tpu.localization.ransac import pnp_ransac
+
+    n_corr = 2048  # 2D-3D matches per query after cluster assembly
+    n_hyp = 1024
+    cam8 = jnp.asarray(
+        np.asarray(canonicalize_params("SIMPLE_RADIAL", [1200.0, 800.0, 600.0, 0.0]),
+                   np.float32)
+    )
+
+    kk = jax.random.fold_in(key, 6)
+    pts3d = jnp.stack([
+        jax.random.uniform(jax.random.fold_in(kk, 0), (n_corr,), minval=-5, maxval=5),
+        jax.random.uniform(jax.random.fold_in(kk, 1), (n_corr,), minval=-4, maxval=4),
+        jax.random.uniform(jax.random.fold_in(kk, 2), (n_corr,), minval=8, maxval=16),
+    ], axis=1)
+    q_gt = jnp.array([1.0, 0.0, 0.0, 0.0])
+    t_gt = jnp.zeros(3)
+    xy, _ = project_points(pts3d, q_gt, t_gt, cam8)
+    xy = xy + jax.random.normal(jax.random.fold_in(kk, 3), xy.shape) * 1.0
+    valid = jnp.ones(n_corr, bool)
+
+    pnp = jax.jit(
+        lambda xy, p3, v, kr: pnp_ransac(
+            xy, p3, cam8, v, threshold=15.0, key=kr, num_hypotheses=n_hyp
+        )
+    )
+    res = pnp(xy, pts3d, valid, jax.random.PRNGKey(1))
+    np.asarray(res.qvec)
+    t_pnp = _timed_per_item(
+        lambda: pnp(xy, pts3d, valid, jax.random.PRNGKey(1)),
+        lambda o: np.asarray(o.qvec),
+        1,
+    )
+    t_pnp_dev = max(t_pnp - rtt, 1e-6)
+
+    # Refinement: 5 masked-LM iterations on the inlier set (iters knob of
+    # test_aachenv_1_1) — jitted as ONE program.
+    @jax.jit
+    def refine(qv, tv, xy, p3, w):
+        for _ in range(5):
+            qv, tv = refine_pose_lm(qv, tv, p3, xy, cam8, w, iterations=2)
+        return qv, tv
+
+    w_inl = res.inliers.astype(jnp.float32)
+    rq, rt = refine(res.qvec, res.tvec, xy, pts3d, w_inl)
+    np.asarray(rq)
+    t_refine = _timed_per_item(
+        lambda: refine(res.qvec, res.tvec, xy, pts3d, w_inl),
+        lambda o: np.asarray(o[0]),
+        1,
+    )
+    t_refine_dev = max(t_refine - rtt, 1e-6)
+
+    # --- map BA (amortised per frame) -----------------------------------
+    from sfd2_tpu.sfm.ba import BAProblem, bundle_adjust
+
+    n_cams = n_db
+    n_pts = 8192 if on_tpu else 1024
+    obs_per_cam = 1024 if on_tpu else 128
+    n_obs = n_cams * obs_per_cam
+    kb = jax.random.fold_in(key, 7)
+    ba_pts = jnp.stack([
+        jax.random.uniform(jax.random.fold_in(kb, 0), (n_pts,), minval=-8, maxval=8),
+        jax.random.uniform(jax.random.fold_in(kb, 1), (n_pts,), minval=-6, maxval=6),
+        jax.random.uniform(jax.random.fold_in(kb, 2), (n_pts,), minval=10, maxval=25),
+    ], axis=1)
+    obs_cam = jnp.repeat(jnp.arange(n_cams, dtype=jnp.int32), obs_per_cam)
+    obs_pt = jax.random.randint(jax.random.fold_in(kb, 3), (n_obs,), 0, n_pts)
+    cam_t = jnp.stack([
+        jnp.linspace(-5, 5, n_cams), jnp.zeros(n_cams), jnp.zeros(n_cams)
+    ], axis=1)
+    qvecs = jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (n_cams, 1))
+    obs_xy_clean = jax.vmap(
+        lambda p, ci: project_points(p[None], qvecs[ci], cam_t[ci], cam8)[0][0]
+    )(ba_pts[obs_pt], obs_cam)
+    obs_xy = obs_xy_clean + jax.random.normal(
+        jax.random.fold_in(kb, 4), (n_obs, 2)) * 0.5
+    fixed = jnp.zeros(n_cams, bool).at[0].set(True).at[1].set(True)
+    problem = BAProblem(
+        obs_xy=obs_xy, obs_cam=obs_cam, obs_point=obs_pt,
+        obs_w=jnp.ones(n_obs), qvecs=qvecs, tvecs=cam_t,
+        cam_params=jnp.tile(cam8[None], (n_cams, 1)),
+        points=ba_pts + jax.random.normal(jax.random.fold_in(kb, 5),
+                                          ba_pts.shape) * 0.05,
+        fixed_cams=fixed,
+    )
+    ba = jax.jit(lambda p: bundle_adjust(p, lm_iters=3, cg_iters=10))
+    np.asarray(ba(problem).final_cost)
+    t_ba = _timed_per_item(
+        lambda: ba(problem), lambda o: np.asarray(o.final_cost), 1
+    )
+    t_ba_dev = max(t_ba - rtt, 1e-6)
+    t_ba_per_frame = t_ba_dev / n_cams
+
+    # --- headline -------------------------------------------------------
+    frame_time = t_extract_dev + t_match_dev + t_pnp_dev + t_refine_dev + t_ba_per_frame
+    fps = 1.0 / frame_time
+    prev = _prev_bench_value()
     return {
         "metric": "localization_pipeline_frames_per_s_per_chip",
-        "value": round(1.0 / frame_time, 3),
-        "unit": "frames/s (1024px extract@4096kp + 50-pair mutual-NN; "
-                "device time, relay RTT subtracted)",
-        "vs_baseline": 1.0,
+        "value": round(fps, 3),
+        "unit": "frames/s (1024px extract@4096kp + 50-pair mutual-NN + "
+                "PnP-RANSAC + 5-iter LM refine + map-BA/50 frames; device "
+                "time, relay RTT subtracted)",
+        "vs_baseline": round(fps / prev, 3) if prev else 1.0,
         "platform": platform,
         "extract_ms": round(t_extract_dev * 1e3, 2),
         "match50_ms": round(t_match_dev * 1e3, 2),
-        "raw_fps_incl_relay_rtt": round(1.0 / (t_extract + t_match), 3),
+        "pnp_ms": round(t_pnp_dev * 1e3, 2),
+        "refine_ms": round(t_refine_dev * 1e3, 2),
+        "ba_ms": round(t_ba_dev * 1e3, 2),
+        "ba_ms_per_frame": round(t_ba_per_frame * 1e3, 3),
+        "extract_gflops": round(extract_flops / ex_batch / 1e9, 1),
+        "measured_gemm_tflops": round(gemm_rate / 1e12, 1),
+        "mfu": round(mfu, 3),
         "relay_rtt_ms": round(rtt * 1e3, 2),
         "matcher": matcher_name,
+        "prev_round_fps": prev,
     }
 
 
