@@ -39,6 +39,14 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--as_half", action="store_true",
                         help="store descriptors as float16 (half the disk)")
+    parser.add_argument("--mask_dir", type=Path, default=None,
+                        help="semantic-mask dir (same relative paths); "
+                             "enables labeled-first top-K + per-keypoint "
+                             "labels for NNML (nets/extractor.py:240-326)")
+    parser.add_argument("--mask_suffix", default=".png")
+    parser.add_argument("--extractor", default="sfd2",
+                        help="baseline extractor name (hloc extract_features "
+                             "parity): sfd2|superpoint|r2d2|sift|d2net|caps|sgd2")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -65,10 +73,49 @@ def main(argv=None):
             )
 
     names = list_images(args.image_dir, args.image_list)
-    extractor = Extractor(variables, cfg, model=model)
     args.export_fn.parent.mkdir(parents=True, exist_ok=True)
+    if args.extractor != "sfd2":
+        # Baseline plug-in path (hloc/extract_features.py drivers): host
+        # loop over images, per-image ImageFeatures into the store.
+        from sfd2_tpu.io.feature_store import ImageFeatures
+        from sfd2_tpu.pipeline.extract import load_image
+        from sfd2_tpu.pipeline.extractors import BaselineConfig, dynamic_load
+
+        extract = dynamic_load(
+            args.extractor,
+            BaselineConfig(max_keypoints=cfg.max_keypoints,
+                           conf_threshold=cfg.conf_threshold),
+        )
+        count = 0
+        with FeatureStore(args.export_fn, "a") as store:
+            for nme in names:
+                if nme in store:
+                    continue
+                im, (w0, h0) = load_image(
+                    Path(args.image_dir) / nme, cfg.resize_max
+                )
+                f = extract(im)
+                import numpy as np
+
+                scale = np.array(
+                    [w0 / im.shape[1], h0 / im.shape[0]], np.float32
+                )
+                kp = (f.keypoints + 0.5) * scale - 0.5
+                store.write(
+                    nme,
+                    ImageFeatures(kp, f.descriptors, f.scores,
+                                  np.array([w0, h0]), f.labels),
+                    as_half=cfg.as_half,
+                )
+                count += 1
+        logging.info("extracted %d images → %s", count, args.export_fn)
+        return
+    extractor = Extractor(variables, cfg, model=model)
     with FeatureStore(args.export_fn, "a") as store:
-        n = extractor.extract_to_store(args.image_dir, names, store)
+        n = extractor.extract_to_store(
+            args.image_dir, names, store,
+            mask_dir=args.mask_dir, mask_suffix=args.mask_suffix,
+        )
     logging.info("extracted %d images → %s", n, args.export_fn)
 
 

@@ -36,6 +36,12 @@ def main(argv=None):
                         help="file of 'img1 img2 flow.png mask.png' lines "
                              "(precomputed-flow pairs, e.g. Aachen optical-flow)")
     parser.add_argument("--pair_image_root", type=Path, default=None)
+    parser.add_argument("--data_sources", default=None,
+                        help="reference W/A/S/F/D letter codes (train.py:45-51) "
+                             "over --aachen_root/--web_root/--debug_root")
+    parser.add_argument("--aachen_root", type=Path, default=None)
+    parser.add_argument("--web_root", type=Path, default=None)
+    parser.add_argument("--debug_root", type=Path, default=None)
     parser.add_argument("--save_dir", default="runs/sfd2")
     parser.add_argument("--run_name", default=None)
     parser.add_argument("--epochs", type=int, default=40)
@@ -52,7 +58,16 @@ def main(argv=None):
     args = apply_json_overlay(args, args.config)
 
     logging.basicConfig(level=logging.INFO)
-    if args.flow_pair_list:
+    if args.data_sources:
+        from sfd2_tpu.training.datasets_aachen import build_data_source
+
+        dataset = build_data_source(
+            args.data_sources, crop=args.R,
+            aachen_root=args.aachen_root, web_root=args.web_root,
+            debug_root=args.debug_root,
+        )
+        builder = PrecomputedPairBuilder(crop=args.R)
+    elif args.flow_pair_list:
         from sfd2_tpu.training.flow_pairs import FlowPairDataset
 
         entries = [

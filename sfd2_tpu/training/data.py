@@ -169,7 +169,10 @@ class SyntheticPairBuilder:
     jitter: bool = True
     transforms: tuple = DEFAULT_PAIR_TRANSFORMS
 
-    def build(self, rng: np.random.Generator, img: np.ndarray) -> PairSample:
+    def make_full_pair(self, rng: np.random.Generator, img: np.ndarray):
+        """Warp + photometric jitter WITHOUT the crop: returns
+        (img1, img2_full, flow_full, valid_full) — the pre-crop half of
+        `build`, reusable by get_pair-style adapters."""
         import cv2
 
         r = self.crop
@@ -197,9 +200,13 @@ class SyntheticPairBuilder:
             img2_full = color_jitter(rng, img2_full)
         if self.noise:
             img2_full = pixel_noise(rng, img2_full, self.noise)
+        return img, img2_full, flow_full, valid_full
 
+    def build(self, rng: np.random.Generator, img: np.ndarray) -> PairSample:
+        img, img2_full, flow_full, valid_full = self.make_full_pair(rng, img)
         return crop_pair(
-            rng, img, img2_full, flow_full, valid_full, r, self.n_crop_tries
+            rng, img, img2_full, flow_full, valid_full, self.crop,
+            self.n_crop_tries,
         )
 
 

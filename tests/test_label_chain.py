@@ -209,3 +209,36 @@ def test_resize_labels_nearest():
     # Exact 2x: each cell replicated.
     assert (up[0:2, 0:2] == lab[0, 0]).all()
     assert (up[6:8, 6:8] == lab[3, 3]).all()
+
+
+def test_extract_cli_mask_and_baseline(tmp_path, rng):
+    """CLI surface: --mask_dir writes labels; --extractor sift drives a
+    baseline plug-in into the same store layout."""
+    import cv2
+
+    from sfd2_tpu.cli import extract_features as cli
+
+    (tmp_path / "imgs").mkdir()
+    (tmp_path / "masks").mkdir()
+    img = (rng.random((120, 160, 3)) * 255).astype(np.uint8)
+    cv2.imwrite(str(tmp_path / "imgs" / "a.jpg"), img)
+    m = np.zeros((120, 160, 3), np.uint8)
+    m[:, :80, 0] = 9
+    cv2.imwrite(str(tmp_path / "masks" / "a.png"), m)
+
+    cli.main([
+        "--image_dir", str(tmp_path / "imgs"),
+        "--export_fn", str(tmp_path / "sift.h5"),
+        "--extractor", "sift", "--conf", "sfd2-n1000-r1600",
+    ])
+    cli.main([
+        "--image_dir", str(tmp_path / "imgs"),
+        "--export_fn", str(tmp_path / "sfd2.h5"),
+        "--mask_dir", str(tmp_path / "masks"),
+    ])
+    with FeatureStore(tmp_path / "sift.h5") as fs:
+        assert len(fs.read("a.jpg").keypoints) > 0
+    with FeatureStore(tmp_path / "sfd2.h5") as fs:
+        f = fs.read("a.jpg")
+        assert f.labels is not None
+        assert set(np.unique(f.labels)) <= {0, 9}

@@ -60,3 +60,29 @@ def test_draw_matches_cv2(rng):
     assert out.shape == (110, 80, 3)
     rp = draw_reprojections(img1, pts1, pts1 + 2)
     assert rp.shape == img1.shape
+
+
+def test_colmap_from_nvm_cli(tmp_path):
+    """CLI surface (hloc/colmap_from_nvm.py parity): NVM + intrinsics →
+    on-disk COLMAP model."""
+    from sfd2_tpu.cli import colmap_from_nvm as cli
+    from sfd2_tpu.io.colmap_model import read_model
+
+    intr = tmp_path / "intr.txt"
+    intr.write_text(
+        "a.jpg SIMPLE_RADIAL 640 480 500 320 240 0.0\n"
+        "b.jpg SIMPLE_RADIAL 640 480 510 320 240 0.0\n"
+    )
+    nvm = tmp_path / "model.nvm"
+    nvm.write_text(
+        "NVM_V3\n\n2\n"
+        "a.jpg 500 1 0 0 0 1 2 3 0 0\n"
+        "b.jpg 510 1 0 0 0 0 0 0 0 0\n\n"
+        "1\n"
+        "1.0 2.0 9.0 255 0 0 2 0 3 10.5 20.5 1 1 30.0 40.0\n"
+    )
+    out = tmp_path / "model"
+    cli.main(["--nvm", str(nvm), "--intrinsics", str(intr),
+              "--output", str(out)])
+    cams, images, points = read_model(out)
+    assert len(cams) == 2 and len(images) == 2 and len(points) == 1
