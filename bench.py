@@ -121,8 +121,18 @@ def run_bench():
     gemm_rate = gemm_flops_total / max(t_gemm - rtt, 1e-6)
 
     # --- extraction -----------------------------------------------------
-    model = ResSegNetV2(require_stability=True)
+    # bf16 trunk on TPU (the production Extractor default): f32 matmuls
+    # already run at bf16 MXU precision on TPU, so bf16 cuts HBM traffic
+    # only — heads stay f32 (see models/sfd2.py).
+    ex_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    model = ResSegNetV2(require_stability=True, dtype=ex_dtype)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32))
+    if on_tpu:
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+            variables,
+        )
 
     @jax.jit
     def extract(variables, images):

@@ -45,9 +45,13 @@ class ExtractionConfig:
     scales: Tuple[float, ...] = (1.0,)
     pad_multiple: int = 64  # static-shape bucketing granularity
     batch_size: int = 4
-    bf16: bool = False  # run the conv stack in bfloat16 (~15% faster; score
-    #                     ranking can shift on near-ties — keep f32 for
-    #                     recall-parity validation runs)
+    bf16: bool | None = None  # run the conv stack in bfloat16. None = auto:
+    #                     on by default on TPU (f32 matmuls already run at
+    #                     bf16 MXU precision there, so bf16 only cuts
+    #                     memory traffic — measurably faster, near-zero
+    #                     extra rounding); off on CPU. Score ranking can
+    #                     shift on near-ties — pass False for bit-exact
+    #                     recall-parity validation runs.
     as_half: bool = False  # store descriptors as float16 (hloc as_half)
 
 
@@ -127,6 +131,10 @@ class Extractor:
         extraction half of the north-star multi-chip story); params are
         replicated and XLA partitions the whole program."""
         self.mesh = mesh
+        if config.bf16 is None:
+            config = dataclasses.replace(
+                config, bf16=jax.default_backend() == "tpu"
+            )
         if config.bf16:
             model = model or ResSegNetV2(require_stability=True, dtype=jnp.bfloat16)
             if model.dtype != jnp.bfloat16:

@@ -15,9 +15,14 @@ conf registry. Implemented plug-ins:
                 (``hloc/extractors/caps.py``)
   sgd2        — L2SegNetNB full-res score/desc (``hloc/extractors/sgd2.py``)
 
+  dir         — ResNet-101 AP-GeM global retrieval descriptors
+                (``hloc/extractors/dir.py``; models/retrieval.py) — a
+                GLOBAL extractor: returns one [D] vector per image for
+                pairs_from_retrieval, not keypoints.
+
 Checkpoints for the external baselines are not vendored (weights load via
-the converters in models/convert_baselines.py when provided); `dir`
-(global retrieval descriptors) stays a documented-unsupported stub.
+the converters in models/convert_baselines.py / models/retrieval.py when
+provided).
 """
 
 from __future__ import annotations
@@ -33,10 +38,7 @@ from sfd2_tpu.io.feature_store import ImageFeatures
 from sfd2_tpu.ops.extract import extract_keypoints
 from sfd2_tpu.ops.nms import simple_nms
 
-_UNSUPPORTED = {
-    "dir": "global-descriptor DIR model not vendored (retrieval descriptors "
-           "are consumed from files, not computed — README deviations)",
-}
+_UNSUPPORTED: Dict[str, str] = {}
 
 
 @dataclasses.dataclass
@@ -216,6 +218,32 @@ def make_sgd2(cfg: BaselineConfig = BaselineConfig(), variables=None):
     return extract
 
 
+def make_dir(cfg: BaselineConfig = BaselineConfig(), variables=None,
+             whiten_pca=None, whiten_params=None, depths=(3, 4, 23, 3)):
+    """DIR (``hloc/extractors/dir.py``): ResNet-101 AP-GeM GLOBAL
+    descriptor. Returns a callable image → [D] float32 vector (consumed
+    by pairs_from_retrieval / the .npz retrieval files, not the keypoint
+    store). `whiten_pca`: optional (mean, components, variances) applying
+    dirtorch's PCA power-whitening (``dir.py:69-73``)."""
+    from sfd2_tpu.models.retrieval import (
+        DIR_MEAN, DIR_STD, ResNetGeM, pca_whiten,
+    )
+
+    model = ResNetGeM(depths=tuple(depths))
+    if variables is None:
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    fwd = jax.jit(model.apply)
+
+    def extract(image: np.ndarray) -> np.ndarray:
+        norm = (image - DIR_MEAN) / DIR_STD
+        desc = np.asarray(fwd(variables, jnp.asarray(norm[None])))
+        if whiten_pca is not None:
+            desc = pca_whiten(desc, *whiten_pca, **(whiten_params or {}))
+        return desc[0].astype(np.float32)
+
+    return extract
+
+
 def make_sfd2(cfg: BaselineConfig = BaselineConfig(), variables=None):
     from sfd2_tpu.models.sfd2 import ResSegNetV2
     from sfd2_tpu.pipeline.extract import ExtractionConfig, Extractor
@@ -247,11 +275,22 @@ EXTRACTOR_REGISTRY: Dict[str, Callable] = {
     "sgd2": make_sgd2,
 }
 
+# Global (whole-image retrieval) extractors — separate registry because
+# the output contract differs (one vector per image, no keypoints).
+GLOBAL_EXTRACTOR_REGISTRY: Dict[str, Callable] = {
+    "dir": make_dir,
+}
+
 
 def dynamic_load(name: str, cfg: Optional[BaselineConfig] = None, **kw):
     """hloc-style loader: name → extract callable."""
     if name in _UNSUPPORTED:
         raise NotImplementedError(f"extractor {name!r}: {_UNSUPPORTED[name]}")
-    if name not in EXTRACTOR_REGISTRY:
-        raise KeyError(f"unknown extractor {name!r}; have {sorted(EXTRACTOR_REGISTRY)}")
-    return EXTRACTOR_REGISTRY[name](cfg or BaselineConfig(), **kw)
+    if name in EXTRACTOR_REGISTRY:
+        return EXTRACTOR_REGISTRY[name](cfg or BaselineConfig(), **kw)
+    if name in GLOBAL_EXTRACTOR_REGISTRY:
+        return GLOBAL_EXTRACTOR_REGISTRY[name](cfg or BaselineConfig(), **kw)
+    raise KeyError(
+        f"unknown extractor {name!r}; have "
+        f"{sorted(EXTRACTOR_REGISTRY) + sorted(GLOBAL_EXTRACTOR_REGISTRY)}"
+    )

@@ -26,7 +26,9 @@ def pairs_from_retrieval(
     allow_self: bool = False,
 ) -> List[Tuple[str, str]]:
     """Top-k DB entries by dot-product similarity (one device GEMM)."""
-    sim = np.asarray(
+    # np.array (not asarray): device arrays view as read-only and the
+    # self-match masking below writes in place.
+    sim = np.array(
         jnp.einsum("id,jd->ij", jnp.asarray(query_desc), jnp.asarray(db_desc))
     )
     if not allow_self:

@@ -112,3 +112,30 @@ def test_multiscale_extraction(small_extractor, rng):
     assert np.all(multi.keypoints[:, 1] < 96)
     # Sorted by score across scales.
     assert np.all(np.diff(multi.scores) <= 1e-6)
+
+
+def test_bf16_trunk_keypoints_close_to_f32():
+    """The bf16 trunk (TPU default) must keep keypoint sets close to the
+    f32 path: heads are f32, so only near-tie rankings may shift."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sfd2_tpu.models.sfd2 import ResSegNetV2
+    from sfd2_tpu.pipeline.extract import ExtractionConfig, Extractor
+
+    rng = np.random.RandomState(7)
+    img = rng.rand(96, 128, 3).astype(np.float32)
+    model = ResSegNetV2(require_stability=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 128, 3)))
+    cfg = ExtractionConfig(max_keypoints=256, resize_max=None, bf16=False)
+    f32_feats = Extractor(variables, cfg, model=model).extract_batch([img])[0]
+    bf_feats = Extractor(
+        variables, dataclasses.replace(cfg, bf16=True), model=model
+    ).extract_batch([img])[0]
+    a = {tuple(np.round(p, 0)) for p in f32_feats.keypoints}
+    b = {tuple(np.round(p, 0)) for p in bf_feats.keypoints}
+    overlap = len(a & b) / max(1, min(len(a), len(b)))
+    assert overlap > 0.7, overlap

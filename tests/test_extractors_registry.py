@@ -25,9 +25,7 @@ def test_extractor_contract(name, rng):
             assert f.descriptors.shape[1] == 256
 
 
-def test_unsupported_raises():
-    with pytest.raises(NotImplementedError):
-        dynamic_load("dir")
+def test_unknown_extractor_raises():
     with pytest.raises(KeyError):
         dynamic_load("nope")
 

@@ -141,3 +141,30 @@ def test_extract_keypoints_stability_scaling(rng):
     valid = np.array(kp.valid[0])
     got = {(int(x), int(y)) for (x, y), v in zip(xy, valid) if v}
     assert (20, 20) in got and (10, 10) not in got
+
+
+def test_grouped_conv_coarse_tiling_matches_native():
+    """GroupedConvAsDense (MXU-coarsened block-diagonal form) must equal
+    the native feature_group_count=G conv bit-for-bit in structure and to
+    f32 tolerance in value, for both the aligned (C=256) and fallback
+    (C=192) paths."""
+    import jax
+    import jax.numpy as jnp
+    from sfd2_tpu.models.layers import GroupedConvAsDense
+
+    for feats in (256, 192):
+        groups = 32
+        gi = feats // groups
+        m = GroupedConvAsDense(feats, groups)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, feats))
+        variables = m.init(jax.random.PRNGKey(1), x)
+        out = m.apply(variables, x)
+        kern = variables["params"]["kernel"]
+        ref = jax.lax.conv_general_dilated(
+            x, kern, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+        )
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
