@@ -25,7 +25,7 @@ from sfd2_tpu.geometry.cameras import (
     project_points,
     unproject_normalized,
 )
-from sfd2_tpu.localization.pnp import pnp_dlt, refine_pose_lm
+from sfd2_tpu.localization.pnp import pnp_dlt, pnp_dlt_fast, refine_pose_lm
 
 _MIN_SAMPLE = 6  # DLT minimal set
 
@@ -87,7 +87,10 @@ def pnp_ransac(
     sample_idx = jax.vmap(sample_one)(keys)  # [H, 6]
 
     def solve_one(idx):
-        return pnp_dlt(points3d[idx], pts_norm[idx])
+        # Fast direct minimal solver (Cholesky inverse iteration + polar
+        # Newton) — hypothesis lanes don't need SVD-grade accuracy; the
+        # LO refits below use the careful SVD path.
+        return pnp_dlt_fast(points3d[idx], pts_norm[idx])
 
     h_q, h_t = jax.vmap(solve_one)(sample_idx)  # [H,4], [H,3]
 

@@ -32,6 +32,14 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e9
 
 
+def _sim_dtype(d: jax.Array) -> jax.Array:
+    """Kernel input dtype: bf16 descriptors stay bf16 (full MXU rate,
+    half the HBM traffic; accumulation is f32 either way via
+    preferred_element_type), anything else is computed in f32 so the
+    exact-vs-XLA equivalence contract holds for f32 callers."""
+    return d if d.dtype == jnp.bfloat16 else d.astype(jnp.float32)
+
+
 def _kernel(
     d1_ref, d2_ref, bias1_ref, bias2_ref,
     rmax_out, ridx_out, cmax_out, cidx_out,
@@ -152,7 +160,7 @@ def nn_argmax_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(desc0.astype(jnp.float32), desc1.astype(jnp.float32), bias0, bias1)
+    )(_sim_dtype(desc0), _sim_dtype(desc1), bias0, bias1)
     return rmax[:, 0], ridx[:, 0], cmax[:, 0], cidx[:, 0]
 
 
@@ -327,7 +335,7 @@ def nn_top2_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(desc0.astype(jnp.float32), desc1.astype(jnp.float32), bias0, bias1)
+    )(_sim_dtype(desc0), _sim_dtype(desc1), bias0, bias1)
     return tuple(o[:, 0] for o in outs)
 
 

@@ -107,3 +107,56 @@ def test_pnp_ransac_fails_gracefully_on_garbage(rng):
     # Must not produce NaNs, and should find only a tiny consensus.
     assert np.all(np.isfinite(np.array(res.qvec)))
     assert int(res.num_inliers) < 30
+
+
+def test_pnp_dlt_fast_matches_svd_path():
+    """The hypothesis-lane solver (Cholesky inverse subspace iteration +
+    polar Newton) must agree with the SVD DLT on WELL-CONDITIONED minimal
+    samples. It forms AᵀA, which squares the condition number, so on
+    near-degenerate samples (σ₂/σ_max ≪ 1) a few degrees of drift is
+    inherent — those hypotheses lose the inlier vote anyway and RANSAC
+    survivors are re-fit by the SVD path; the statistical gate is
+    tests/test_pnp_parity.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from sfd2_tpu.geometry.cameras import canonicalize_params, project_points
+    from sfd2_tpu.geometry.cameras import unproject_normalized
+    from sfd2_tpu.geometry.rotations import qvec_to_rotmat
+    from sfd2_tpu.localization.pnp import (
+        _dlt_rows, _hartley_normalize, pnp_dlt, pnp_dlt_fast,
+    )
+
+    cam8 = canonicalize_params("PINHOLE", [500.0, 500.0, 320.0, 240.0])
+    rng = np.random.RandomState(3)
+    checked = 0
+    for trial in range(10):
+        q = rng.randn(4)
+        q /= np.linalg.norm(q)
+        t = rng.randn(3) * 0.5 + np.array([0, 0, 1.0])
+        pts = rng.uniform(-3, 3, (6, 3)) + np.array([0, 0, 10.0])
+        xy, _ = project_points(jnp.asarray(pts), jnp.asarray(q), jnp.asarray(t),
+                               jnp.asarray(cam8))
+        pn = unproject_normalized(xy, jnp.asarray(cam8))
+        q_s, t_s = pnp_dlt(jnp.asarray(pts, jnp.float32), pn)
+        q_f, t_f = pnp_dlt_fast(jnp.asarray(pts, jnp.float32), pn)
+        assert np.all(np.isfinite(np.asarray(q_f)))
+        assert np.all(np.isfinite(np.asarray(t_f)))
+        # Conditioning of the (normalised) DLT system in f64.
+        w = jnp.ones((6,), jnp.float32)
+        x3, x2, *_ = _hartley_normalize(jnp.asarray(pts, jnp.float32), pn, w)
+        sv = np.linalg.svd(
+            np.asarray(_dlt_rows(x3, x2, w), np.float64), compute_uv=False
+        )
+        if sv[-2] / sv[0] < 1e-2:  # near-degenerate sample: skip tight check
+            continue
+        checked += 1
+        r_s = np.asarray(qvec_to_rotmat(q_s))
+        r_f = np.asarray(qvec_to_rotmat(q_f))
+        # Rotation agreement (angle of R_s R_fᵀ) below 0.2°.
+        cos = (np.trace(r_s @ r_f.T) - 1) / 2
+        ang = np.degrees(np.arccos(np.clip(cos, -1, 1)))
+        assert ang < 0.2, (trial, ang)
+        np.testing.assert_allclose(np.asarray(t_s), np.asarray(t_f),
+                                   atol=2e-2, rtol=2e-2)
+    assert checked >= 6  # the skip gate must not hollow out the test
