@@ -5,17 +5,27 @@ contract as ``sfd2_tpu.ops.matching.mutual_nn_match``.
 
 Why a kernel: the XLA path materialises the [K, K] similarity matrix in
 HBM (64 MB at K=4096 fp32) before reducing it — matching one query
-against 50 DB frames moves >6 GB through HBM. This kernel tiles
-D1·D2ᵀ on the MXU and keeps *running* row/col max+argmax accumulators in
-VMEM, so HBM traffic is just the descriptors (2×2 MB) and four [K]
-output vectors: a ~500× reduction in bytes for the reduction stage.
+against 50 DB frames moves >6 GB through HBM. These kernels compute
+D1·D2ᵀ stripes on the MXU and reduce them in VMEM, so HBM traffic is
+just the descriptors (2×2 MB) and a few [K] output vectors: a ~500×
+reduction in bytes for the reduction stage.
 
-Grid is (B, I, J) with J innermost:
-  * row accumulators (BM rows of the current I-stripe) reset at J==0 and
-    flush at J==last;
-  * column accumulators persist in a full-[N2] VMEM scratch across the
-    I-loop (reset at I==0, flushed into the (B, J)-blocked output at
-    I==last — later grid visits overwrite earlier garbage flushes).
+Two kernel families:
+
+* `nn_argmax_pallas` / `nn_top2_pallas` — generic tiled (B, I, J)
+  grids with running row/col max+argmax accumulators in VMEM scratch.
+  General but VPU-bound: the cross-block argmax merge costs ~5× the
+  matmul at K=4096.
+* `mutual_nn_match_pallas` / `mutual_nn_ratio_match_pallas` — the
+  production matchers: FULL-WIDTH row stripes (one block spans all of
+  n2) so every row reduction is block-local, no column argmax (the
+  epilogue recovers mutuality from the bit-exact max-equality
+  `rmax[i] == cmax[nn12[i]]`), and the [B, K] gather of that check runs
+  in a second tiny kernel on Mosaic's in-register `tpu.dynamic_gather`
+  (XLA's scalar gather alone costs more than the matching kernel).
+  Measured v5e @ K=4096, C=128: 169 µs/pair tiled → 49 µs/pair
+  (~85 % of the MXU floor for the kernel itself).
+
 Validity is folded in as additive −1e9 biases, matching the XLA path's
 masking semantics exactly.
 """
@@ -164,33 +174,265 @@ def nn_argmax_pallas(
     return rmax[:, 0], ridx[:, 0], cmax[:, 0], cidx[:, 0]
 
 
+def _kernel_mutual(
+    d1_ref, d2_ref, bias1_ref, bias2_ref,
+    rmax_out, ridx_out, cmax_out,
+    cmax_s,
+):
+    """Mutual-NN-only kernel over FULL-WIDTH row stripes.
+
+    Two design points, both measured on v5e (see git history ablation):
+
+    * Both reductions run over ONE doubly-biased stripe
+      ``s = d1_stripe·d2ᵀ + row_bias + col_bias`` (biases are constant
+      along the reduced axis, so they shift the max but never move the
+      argmax), and the column *argmax* is never computed — the caller
+      recovers mutuality from the bit-exact identity
+      ``rmax[i] == cmax[nn12[i]]`` (max/compare ops only select bits of
+      the shared matmul output, so equality holds iff row i wins column
+      nn12[i]).
+    * The stripe spans the ENTIRE n2 axis, so the row max/argmax is a
+      single block-local reduction with no cross-block running-argmax
+      merge. The merge variant (grid (B,I,J), VMEM accumulators +
+      jnp.where updates) measured 170 µs/pair at K=4096; this layout
+      measures 31 µs/pair — ~85 % of the measured MXU floor.
+    """
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+
+    s = jax.lax.dot_general(
+        d1_ref[0], d2_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BM, N2]
+    s = s + bias2_ref[0, 0][None, :] + bias1_ref[0, 0][:, None]
+
+    rmax_out[0, 0, :] = jnp.max(s, axis=1)
+    ridx_out[0, 0, :] = jnp.argmax(s, axis=1).astype(jnp.int32)
+
+    cmax = jnp.max(s, axis=0)
+
+    @pl.when(i == 0)
+    def _():
+        cmax_s[0, :] = jnp.full(cmax_s.shape[1:], _NEG * 2.0, jnp.float32)
+
+    cmax_s[0, :] = jnp.maximum(cmax, cmax_s[0, :])
+
+    @pl.when(i == n_i - 1)
+    def _():
+        cmax_out[0, 0, :] = cmax_s[0, :]
+
+
+def _make_epilogue_mutual(b, n1, n2):
+    """Mutual-NN epilogue kernel factory.
+
+    The [B, N1] gather ``cmax[b, nn12[b, m]]`` costs 2.1 ms on the XLA
+    scalar-gather path for [50, 4096] — more than the matching kernel
+    itself. Mosaic's ``tpu.dynamic_gather`` does it in-register but only
+    for single-vreg (128-lane) tables, so the caller reshapes everything
+    to [R, 128] rows and the kernel gathers in two levels: a lane-local
+    gather per 128-wide chunk of the table + a chunk-select on the high
+    index bits (N2/128 static iterations of pure vector ops)."""
+    rep = n1 // 128
+
+    def kernel(rmax_ref, nn12_ref, lo_ref, hi_ref, valid_ref, cmax_ref,
+               match_ref, score_ref):
+        rmax = rmax_ref[...]          # [R, 128]
+        nn12 = nn12_ref[...]
+        lo = lo_ref[...]
+        hi = hi_ref[...]
+        cmax_at = jnp.full(rmax.shape, _NEG * 2.0, jnp.float32)
+        for k in range(n2 // 128):
+            chunk = cmax_ref[:, k * 128:(k + 1) * 128]        # [B, 128]
+            chunk_rep = jnp.broadcast_to(
+                chunk[:, None, :], (b, rep, 128)
+            ).reshape(b * rep, 128)
+            g = jnp.take_along_axis(
+                chunk_rep, lo, axis=1, mode="promise_in_bounds"
+            )
+            cmax_at = jnp.where(hi == k, g, cmax_at)
+        alive = rmax > _NEG / 2
+        ok = (rmax == cmax_at) & alive & (valid_ref[...] != 0)
+        match_ref[...] = jnp.where(ok, nn12, -1)
+        score_ref[...] = jnp.where(alive, rmax, 0.0)
+
+    return kernel
+
+
+def _make_epilogue_ratio(b, n1, n2):
+    """Ratio-test epilogue factory: gathers column top-2 at nn12 (same
+    two-level scheme as `_make_epilogue_mutual`) and applies the
+    symmetric Lowe ratio on unit-descriptor L2 distances in-kernel (the
+    ratio arrives as a broadcast input — pallas kernels cannot close
+    over traced scalars)."""
+    rep = n1 // 128
+
+    def kernel(rmax_ref, nn12_ref, lo_ref, hi_ref, rmax2_ref, valid_ref,
+               ratio_ref, cmax_ref, cmax2_ref, match_ref, score_ref):
+        ratio = ratio_ref[...]
+        rmax = rmax_ref[...]
+        nn12 = nn12_ref[...]
+        lo = lo_ref[...]
+        hi = hi_ref[...]
+        c1_at = jnp.full(rmax.shape, _NEG * 2.0, jnp.float32)
+        c2_at = jnp.full(rmax.shape, _NEG * 2.0, jnp.float32)
+        for k in range(n2 // 128):
+            sel = hi == k
+            for ref, acc in ((cmax_ref, 0), (cmax2_ref, 1)):
+                chunk = ref[:, k * 128:(k + 1) * 128]
+                chunk_rep = jnp.broadcast_to(
+                    chunk[:, None, :], (b, rep, 128)
+                ).reshape(b * rep, 128)
+                g = jnp.take_along_axis(
+                    chunk_rep, lo, axis=1, mode="promise_in_bounds"
+                )
+                if acc == 0:
+                    c1_at = jnp.where(sel, g, c1_at)
+                else:
+                    c2_at = jnp.where(sel, g, c2_at)
+
+        def dist(v):
+            return jnp.sqrt(jnp.maximum(2.0 - 2.0 * v, 0.0))
+
+        ratios12 = dist(rmax) / (dist(rmax2_ref[...]) + 1e-8)
+        r21_at = dist(c1_at) / (dist(c2_at) + 1e-8)
+        alive = rmax > _NEG / 2
+        ok = (
+            (rmax == c1_at)
+            & (ratios12 <= ratio)
+            & (r21_at <= ratio)
+            & alive
+            & (valid_ref[...] != 0)
+        )
+        match_ref[...] = jnp.where(ok, nn12, -1)
+        score_ref[...] = jnp.where(alive, rmax, 0.0)
+
+    return kernel
+
+
+def _epilogue_args(nn12, row_arrays):
+    """Reshape [B, N1] row arrays to [B*N1/128, 128] and split nn12 into
+    lane-local / chunk indices for the two-level gather."""
+    b, n1 = nn12.shape
+    r = b * n1 // 128
+
+    def rs(x):
+        return x.reshape(r, 128)
+
+    lo = rs(nn12 & 127)
+    hi = rs(jax.lax.shift_right_logical(nn12, 7))
+    return [rs(a) for a in row_arrays[:2]] + [lo, hi] + [
+        rs(a) for a in row_arrays[2:]
+    ]
+
+
+# Above this VMEM footprint for the full-width stripe (d2 bank + stripe +
+# reduction temporaries), fall back to the tiled kernel.
+_FULLWIDTH_VMEM_BYTES = 40 << 20
+
+
+def _fullwidth_block_m(n1: int, n2: int, c: int, block_m: int) -> int | None:
+    """Largest row-stripe height ≤ block_m that divides n1 and fits the
+    full-width layout in VMEM; None → use the tiled fallback."""
+    for bm in (256, 128, 64, 32, 16, 8):
+        if bm > block_m or n1 % bm:
+            continue
+        approx = 4 * (n2 * c + 3 * bm * n2 + 2 * bm * c)
+        if approx <= _FULLWIDTH_VMEM_BYTES:
+            return bm
+    return None
+
+
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
 def mutual_nn_match_pallas(
     desc0: jax.Array,
     desc1: jax.Array,
     valid0: jax.Array | None = None,
     valid1: jax.Array | None = None,
-    block_m: int = 1024,
-    block_n: int = 1024,
+    block_m: int = 256,
+    block_n: int | None = None,
     interpret: bool = False,
 ):
     """Batched mutual-NN with the −1-sentinel contract of
-    `mutual_nn_match_batch`, on the fused kernel."""
-    b, n1, _ = desc0.shape
+    `mutual_nn_match_batch`, on the argmax-free full-width kernel.
+
+    `block_n` is accepted for API compatibility but unused — the kernel
+    always spans the full n2 axis (falling back to the tiled
+    `nn_argmax_pallas` when that would not fit VMEM).
+
+    Tie semantics: where the XLA path's back-pointer check grants a tie
+    between rows to the lowest row index only, the max-equality check
+    grants it to every tying row — indistinguishable on real (f32,
+    continuous) descriptors."""
+    b, n1, c = desc0.shape
     n2 = desc1.shape[1]
     if valid0 is None:
         valid0 = jnp.ones((b, n1), bool)
     if valid1 is None:
         valid1 = jnp.ones((b, n2), bool)
-    rmax, nn12, _, nn21 = nn_argmax_pallas(
-        desc0, desc1, valid0, valid1, block_m, block_n, interpret
-    )
-    ids = jnp.arange(n1, dtype=nn12.dtype)[None, :]
-    back = jnp.take_along_axis(nn21, nn12, axis=1)
-    ok = (ids == back) & (rmax > _NEG / 2) & valid0
-    matches0 = jnp.where(ok, nn12, -1).astype(jnp.int32)
-    scores0 = jnp.where(rmax > _NEG / 2, rmax, 0.0)
-    return matches0, scores0
+
+    bm = _fullwidth_block_m(n1, n2, c, block_m)
+    if bm is None:  # huge DB bank: tiled kernel + back-pointer check
+        rmax, nn12, _, nn21 = nn_argmax_pallas(
+            desc0, desc1, valid0, valid1, interpret=interpret
+        )
+        ids = jnp.arange(n1, dtype=nn12.dtype)[None, :]
+        back = jnp.take_along_axis(nn21, nn12, axis=1)
+        ok = (ids == back) & (rmax > _NEG / 2) & valid0
+        matches0 = jnp.where(ok, nn12, -1).astype(jnp.int32)
+        scores0 = jnp.where(rmax > _NEG / 2, rmax, 0.0)
+        return matches0, scores0
+
+    bias0 = jnp.where(valid0, 0.0, _NEG).astype(jnp.float32)[:, None, :]
+    bias1 = jnp.where(valid1, 0.0, _NEG).astype(jnp.float32)[:, None, :]
+    grid = (b, n1 // bm)
+    row_spec = pl.BlockSpec((1, 1, bm), lambda b_, i: (b_, 0, i))
+    col_spec = pl.BlockSpec((1, 1, n2), lambda b_, i: (b_, 0, 0))
+    rmax, ridx, cmax = pl.pallas_call(
+        _kernel_mutual,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bm, c), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((1, n2, c), lambda b_, i: (b_, 0, 0)),
+            row_spec,
+            col_spec,
+        ],
+        out_specs=(row_spec, row_spec, col_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1, n1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, n1), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, n2), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, n2), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=96 << 20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n1 * n2 * c,
+            bytes_accessed=4 * b * (n1 * c + n2 * c + 2 * n1 + n2),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(_sim_dtype(desc0), _sim_dtype(desc1), bias0, bias1)
+    rmax, nn12, cmax = rmax[:, 0], ridx[:, 0], cmax[:, 0]
+
+    # Mutual iff row i's best score IS column nn12[i]'s best score
+    # (epilogue kernel: in-register dynamic gather, see
+    # _make_epilogue_mutual).
+    args = _epilogue_args(nn12, (rmax, nn12, valid0.astype(jnp.int32)))
+    r = b * n1 // 128
+    match_r, score_r = pl.pallas_call(
+        _make_epilogue_mutual(b, n1, n2),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, 128), jnp.int32),
+            jax.ShapeDtypeStruct((r, 128), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 << 20),
+        interpret=interpret,
+    )(*args, cmax)
+    return match_r.reshape(b, n1), score_r.reshape(b, n1)
 
 
 # ---------------------------------------------------------------------------
@@ -339,6 +581,56 @@ def nn_top2_pallas(
     return tuple(o[:, 0] for o in outs)
 
 
+def _kernel_top2_mutual(
+    d1_ref, d2_ref, bias1_ref, bias2_ref,
+    rmax_out, ridx_out, rmax2_out, cmax_out, cmax2_out,
+    cmax_s, cmax2_s,
+):
+    """Top-2 variant of `_kernel_mutual` (full-width row stripes): one
+    doubly-biased matrix, block-local row top-2 with argmax, column
+    top-2 WITHOUT argmax (mutuality recovered by max-equality in the
+    caller)."""
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+
+    s = jax.lax.dot_general(
+        d1_ref[0], d2_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BM, N2]
+    s = s + bias2_ref[0, 0][None, :] + bias1_ref[0, 0][:, None]
+
+    # Row top-2 (+ argmax), block-local (stripe spans all of n2).
+    b1 = jnp.max(s, axis=1)
+    ba = jnp.argmax(s, axis=1).astype(jnp.int32)
+    ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    b2 = jnp.max(jnp.where(ids == ba[:, None], _NEG * 2.0, s), axis=1)
+    rmax_out[0, 0, :] = b1
+    rmax2_out[0, 0, :] = b2
+    ridx_out[0, 0, :] = ba
+
+    # Column top-2 (values only). Exact 2-pass: c1 = colmax; c2 = colmax
+    # with ONE occurrence of c1 masked (the first, via running-iota match).
+    c1 = jnp.max(s, axis=0)
+    iot = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    first_hit = jnp.min(jnp.where(s == c1[None, :], iot, s.shape[0]), axis=0)
+    c2 = jnp.max(jnp.where(iot == first_hit[None, :], _NEG * 2.0, s), axis=0)
+
+    @pl.when(i == 0)
+    def _():
+        cmax_s[0, :] = jnp.full(cmax_s.shape[1:], _NEG * 2.0, jnp.float32)
+        cmax2_s[0, :] = jnp.full(cmax2_s.shape[1:], _NEG * 2.0, jnp.float32)
+
+    q1 = cmax_s[0, :]
+    q2 = cmax2_s[0, :]
+    cmax_s[0, :] = jnp.maximum(q1, c1)
+    cmax2_s[0, :] = jnp.maximum(jnp.minimum(q1, c1), jnp.maximum(q2, c2))
+
+    @pl.when(i == n_i - 1)
+    def _():
+        cmax_out[0, 0, :] = cmax_s[0, :]
+        cmax2_out[0, 0, :] = cmax2_s[0, :]
+
+
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
 def mutual_nn_ratio_match_pallas(
     desc0: jax.Array,
@@ -352,32 +644,94 @@ def mutual_nn_ratio_match_pallas(
 ):
     """NNR conf on the fused top-2 kernel: mutual NN + symmetric Lowe
     ratio on unit-descriptor L2 distances (same contract as
-    `mutual_nn_ratio_match`)."""
-    b, n1, _ = desc0.shape
+    `mutual_nn_ratio_match`; same tie semantics note as
+    `mutual_nn_match_pallas`). Falls back to the tiled `nn_top2_pallas`
+    when the full-width stripe would not fit VMEM."""
+    b, n1, c = desc0.shape
     n2 = desc1.shape[1]
     if valid0 is None:
         valid0 = jnp.ones((b, n1), bool)
     if valid1 is None:
         valid1 = jnp.ones((b, n2), bool)
-    m1, nn12, m1b, c1, nn21, c1b = nn_top2_pallas(
-        desc0, desc1, valid0, valid1, block_m, block_n, interpret
-    )
 
     def dist(v):
         return jnp.sqrt(jnp.maximum(2.0 - 2.0 * v, 0.0))
 
-    ratios12 = dist(m1) / (dist(m1b) + 1e-8)
-    ratios21 = dist(c1) / (dist(c1b) + 1e-8)
-    ids = jnp.arange(n1, dtype=nn12.dtype)[None, :]
-    back = jnp.take_along_axis(nn21, nn12, axis=1)
-    r21_at = jnp.take_along_axis(ratios21, nn12, axis=1)
-    ok = (
-        (ids == back)
-        & (ratios12 <= ratio)
-        & (r21_at <= ratio)
-        & (m1 > _NEG / 2)
-        & valid0
+    bm = _fullwidth_block_m(n1, n2, c, block_m)
+    if bm is None:  # huge DB bank: tiled kernel + back-pointer check
+        m1, nn12, m1b, c1, nn21, c1b = nn_top2_pallas(
+            desc0, desc1, valid0, valid1, interpret=interpret
+        )
+        ratios12 = dist(m1) / (dist(m1b) + 1e-8)
+        ratios21 = dist(c1) / (dist(c1b) + 1e-8)
+        ids = jnp.arange(n1, dtype=nn12.dtype)[None, :]
+        back = jnp.take_along_axis(nn21, nn12, axis=1)
+        r21_at = jnp.take_along_axis(ratios21, nn12, axis=1)
+        ok = (
+            (ids == back)
+            & (ratios12 <= ratio)
+            & (r21_at <= ratio)
+            & (m1 > _NEG / 2)
+            & valid0
+        )
+        matches0 = jnp.where(ok, nn12, -1).astype(jnp.int32)
+        scores0 = jnp.where(m1 > _NEG / 2, m1, 0.0)
+        return matches0, scores0
+
+    bias0 = jnp.where(valid0, 0.0, _NEG).astype(jnp.float32)[:, None, :]
+    bias1 = jnp.where(valid1, 0.0, _NEG).astype(jnp.float32)[:, None, :]
+    grid = (b, n1 // bm)
+    row_spec = pl.BlockSpec((1, 1, bm), lambda b_, i: (b_, 0, i))
+    col_spec = pl.BlockSpec((1, 1, n2), lambda b_, i: (b_, 0, 0))
+    m1, nn12, m1b, c1, c1b = pl.pallas_call(
+        _kernel_top2_mutual,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bm, c), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((1, n2, c), lambda b_, i: (b_, 0, 0)),
+            row_spec,
+            col_spec,
+        ],
+        out_specs=(row_spec, row_spec, row_spec, col_spec, col_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1, n1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, n1), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, n1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, n2), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, n2), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, n2), jnp.float32),
+            pltpu.VMEM((1, n2), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=96 << 20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n1 * n2 * c,
+            bytes_accessed=4 * b * (n1 * c + n2 * c + 3 * n1 + 2 * n2),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(_sim_dtype(desc0), _sim_dtype(desc1), bias0, bias1)
+    m1, nn12, m1b = m1[:, 0], nn12[:, 0], m1b[:, 0]
+    c1, c1b = c1[:, 0], c1b[:, 0]
+
+    r = b * n1 // 128
+    ratio_arr = jnp.broadcast_to(
+        jnp.asarray(ratio, jnp.float32), (r, 128)
     )
-    matches0 = jnp.where(ok, nn12, -1).astype(jnp.int32)
-    scores0 = jnp.where(m1 > _NEG / 2, m1, 0.0)
-    return matches0, scores0
+    args = _epilogue_args(
+        nn12, (m1, nn12, m1b, valid0.astype(jnp.int32))
+    ) + [ratio_arr]
+    match_r, score_r = pl.pallas_call(
+        _make_epilogue_ratio(b, n1, n2),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, 128), jnp.int32),
+            jax.ShapeDtypeStruct((r, 128), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 << 20),
+        interpret=interpret,
+    )(*args, c1, c1b)
+    return match_r.reshape(b, n1), score_r.reshape(b, n1)

@@ -107,3 +107,33 @@ def test_pallas_top2_multiblock(rng):
     srt0 = np.sort(sim, axis=1)
     np.testing.assert_allclose(np.array(c1), srt0[:, -1, :], atol=1e-5)
     np.testing.assert_allclose(np.array(c2), srt0[:, -2, :], atol=1e-5)
+
+
+def test_pallas_mutual_tie_semantics(rng):
+    """The full-width mutual kernel checks mutuality by max-equality
+    (rmax[i] == cmax[nn12[i]]): on EXACT score ties between rows it
+    grants the match to every tying row, where the XLA back-pointer
+    check keeps only the first. Duplicated descriptors make this
+    observable; both behaviours are valid mutual-NN semantics."""
+    b, n, c = 1, 128, 16
+    d0 = unit(rng, b, n, c)
+    d0[:, 64] = d0[:, 0]  # rows 0 and 64 identical
+    d1 = unit(rng, b, n, c)
+    d1[:, 5] = d0[:, 0]  # column 5 is their common best match
+    m_pal, _ = mutual_nn_match_pallas(
+        jnp.array(d0), jnp.array(d1), None, None,
+        block_m=64, interpret=INTERPRET,
+    )
+    m_pal = np.array(m_pal)
+    assert m_pal[0, 0] == 5 and m_pal[0, 64] == 5  # both tying rows match
+    from sfd2_tpu.ops.matching import mutual_nn_match_batch
+    m_ref, _ = mutual_nn_match_batch(
+        jnp.array(d0), jnp.array(d1),
+        jnp.ones((b, n), bool), jnp.ones((b, n), bool),
+    )
+    m_ref = np.array(m_ref)
+    assert m_ref[0, 0] == 5 and m_ref[0, 64] == -1  # XLA keeps first only
+    # Everywhere untied the two agree.
+    untied = np.ones(n, bool)
+    untied[[0, 64]] = False
+    np.testing.assert_array_equal(m_pal[0, untied], m_ref[0, untied])
