@@ -303,3 +303,199 @@ def refine_pose_lm(
     w, dt = delta[:3], delta[3:]
     rot = _axis_angle_to_rotmat(w) @ rot0
     return rotmat_to_qvec(rot), tvec + dt
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis-lanes minimal solver (structure-of-arrays)
+# ---------------------------------------------------------------------------
+
+
+def _polar_rotation_lanes(m, iters: int = 5):
+    """`_polar_rotation` over a leading hypothesis axis: m [H, 3, 3] →
+    (R [H, 3, 3], scale [H]). Same Newton iteration, written with
+    axis-wise cross products and trace-as-elementwise-sum so no batched
+    LAPACK-style op is emitted."""
+
+    def det3(x):
+        return jnp.sum(x[:, 0] * jnp.cross(x[:, 1], x[:, 2]), axis=-1)
+
+    def cof3(x):
+        return jnp.stack(
+            [
+                jnp.cross(x[:, 1], x[:, 2]),
+                jnp.cross(x[:, 2], x[:, 0]),
+                jnp.cross(x[:, 0], x[:, 1]),
+            ],
+            axis=1,
+        )
+
+    fro = jnp.sqrt(jnp.sum(m * m, axis=(-2, -1), keepdims=True))
+    x = m * (jnp.sqrt(3.0) / jnp.maximum(fro, 1e-12))
+    for _ in range(iters):
+        det = det3(x)
+        det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+        x = 0.5 * (x + cof3(x) / det[:, None, None])
+    scale = jnp.sum(x * m, axis=(-2, -1)) / 3.0
+    return x, scale
+
+
+def pnp_dlt_fast_lanes(points3d: jax.Array, points2d_norm: jax.Array):
+    """`pnp_dlt_fast` over hypothesis lanes: [H, 6, 3] + [H, 6, 2] →
+    (qvec [H, 4], tvec [H, 3]).
+
+    Why not ``jax.vmap(pnp_dlt_fast)``: XLA's *batched* 12×12 linalg is
+    pathological on TPU — measured [1024,12,12] AᵀA 1.0 ms, batched
+    Cholesky 1.17 ms, each triangular solve 0.3 ms (the whole vmapped
+    solver: 1.26 ms). Here every matrix entry is an [H]-wide vector and
+    the Cholesky / triangular solves / Gram–Schmidt are unrolled into
+    static scalar formulas over those vectors, so the entire solver
+    compiles to fused elementwise ops with hypotheses on the VPU lanes
+    (~10× faster). Same algorithm, same guards; results agree with the
+    vmapped path to float tolerance.
+    """
+    h, n = points3d.shape[0], points3d.shape[1]
+    dt = points3d.dtype
+    w = jnp.ones((h, n), dt)
+    wsum = float(n)
+
+    # Hartley normalisation (per hypothesis, elementwise).
+    c3 = jnp.mean(points3d, axis=1)  # [H, 3]
+    x3 = points3d - c3[:, None, :]
+    s3 = jnp.sqrt(3.0) / jnp.maximum(
+        jnp.mean(jnp.linalg.norm(x3, axis=-1), axis=1), 1e-12
+    )  # [H]
+    x3 = x3 * s3[:, None, None]
+    c2 = jnp.mean(points2d_norm, axis=1)
+    x2 = points2d_norm - c2[:, None, :]
+    s2 = jnp.sqrt(2.0) / jnp.maximum(
+        jnp.mean(jnp.linalg.norm(x2, axis=-1), axis=1), 1e-12
+    )
+    x2 = x2 * s2[:, None, None]
+
+    # M = AᵀA in 4×4 blocks, from the DLT row structure
+    #   row_u = [xh, 0, -u·xh], row_v = [0, xh, -v·xh]:
+    #   B00 = B11 = Σ xh xhᵀ;  B01 = 0;  B02 = -Σ u xh xhᵀ;
+    #   B12 = -Σ v xh xhᵀ;     B22 = Σ (u²+v²) xh xhᵀ.
+    xh = jnp.concatenate([x3, jnp.ones((h, n, 1), dt)], axis=-1)  # [H, 6, 4]
+    u = x2[..., 0]
+    v = x2[..., 1]
+    wu, wv, wuv = -u, -v, u * u + v * v
+
+    def gram(weight):  # Σ_n weight_n · xh_i · xh_j → dict [H] vectors
+        g = {}
+        for i in range(4):
+            for j in range(i, 4):
+                s = jnp.sum(
+                    (xh[..., i] * xh[..., j]) if weight is None
+                    else (weight * xh[..., i] * xh[..., j]),
+                    axis=1,
+                )
+                g[(i, j)] = g[(j, i)] = s
+        return g
+
+    g1, gu, gv, guv = gram(None), gram(wu), gram(wv), gram(wuv)
+
+    zero = jnp.zeros((h,), dt)
+    M = {}
+    for i in range(4):
+        for j in range(4):
+            M[(i, j)] = g1[(i, j)]
+            M[(i + 4, j + 4)] = g1[(i, j)]
+            M[(i + 8, j + 8)] = guv[(i, j)]
+            M[(i, j + 4)] = M[(i + 4, j)] = zero
+            M[(i, j + 8)] = M[(j + 8, i)] = gu[(i, j)]
+            M[(i + 4, j + 8)] = M[(j + 8, i + 4)] = gv[(i, j)]
+
+    trace = sum(M[(d, d)] for d in range(12))
+    eps = 1e-6 * (trace / 12.0) + 1e-30
+    for d in range(12):
+        M[(d, d)] = M[(d, d)] + eps
+
+    # Unrolled Cholesky M = L Lᵀ (NaN on indefinite samples — callers
+    # mask non-finite poses, same as the vmapped path).
+    L = {}
+    for j in range(12):
+        d = M[(j, j)] - sum(L[(j, k)] * L[(j, k)] for k in range(j))
+        ljj = jnp.sqrt(d)
+        L[(j, j)] = ljj
+        inv = 1.0 / ljj
+        for i in range(j + 1, 12):
+            L[(i, j)] = (
+                M[(i, j)] - sum(L[(i, k)] * L[(j, k)] for k in range(j))
+            ) * inv
+
+    # Inverse subspace iteration, 2 columns, unrolled solves.
+    cols = [
+        [jnp.full((h,), 1.0 / jnp.sqrt(12.0), dt) for _ in range(12)],
+        [
+            jnp.full((h,), (1.0 if i % 2 == 0 else -1.0) / jnp.sqrt(12.0), dt)
+            for i in range(12)
+        ],
+    ]
+    for _ in range(4):
+        new_cols = []
+        for b in cols:
+            y = []
+            for i in range(12):
+                y.append(
+                    (b[i] - sum(L[(i, k)] * y[k] for k in range(i)))
+                    / L[(i, i)]
+                )
+            x = [None] * 12
+            for i in range(11, -1, -1):
+                x[i] = (
+                    y[i] - sum(L[(k, i)] * x[k] for k in range(i + 1, 12))
+                ) / L[(i, i)]
+            new_cols.append(x)
+        c0, c1 = new_cols
+        n0 = jnp.sqrt(sum(t * t for t in c0))
+        c0 = [t / jnp.maximum(n0, 1e-30) for t in c0]
+        dot01 = sum(a * b for a, b in zip(c0, c1))
+        c1 = [b - dot01 * a for a, b in zip(c0, c1)]
+        n1 = jnp.sqrt(sum(t * t for t in c1))
+        c1 = [t / jnp.maximum(n1, 1e-30) for t in c1]
+        cols = [c0, c1]
+
+    # Rayleigh–Ritz on span(c0, c1).
+    c0, c1 = cols
+    m0 = [sum(M[(i, j)] * c0[j] for j in range(12)) for i in range(12)]
+    m1 = [sum(M[(i, j)] * c1[j] for j in range(12)) for i in range(12)]
+    baa = sum(a * b for a, b in zip(c0, m0))
+    bab = sum(a * b for a, b in zip(c0, m1))
+    bcc = sum(a * b for a, b in zip(c1, m1))
+    lam = 0.5 * (baa + bcc) - jnp.sqrt(
+        jnp.square(0.5 * (baa - bcc)) + jnp.square(bab)
+    )
+    use_a = jnp.abs(lam - baa) > jnp.abs(lam - bcc)
+    v0 = jnp.where(use_a, bab, lam - bcc)
+    v1 = jnp.where(use_a, lam - baa, bab)
+    vn = jnp.sqrt(v0 * v0 + v1 * v1)
+    tiny = vn < 1e-20
+    v0 = jnp.where(tiny, jnp.where(baa <= bcc, 1.0, 0.0), v0)
+    v1 = jnp.where(tiny, jnp.where(baa <= bcc, 0.0, 1.0), v1)
+    vn = jnp.sqrt(v0 * v0 + v1 * v1)
+    v0, v1 = v0 / vn, v1 / vn
+    sol = [a * v0 + b * v1 for a, b in zip(c0, c1)]
+    sn = jnp.sqrt(sum(t * t for t in sol))
+    sol = [t / jnp.maximum(sn, 1e-30) for t in sol]
+    p_norm = jnp.stack(sol, axis=-1).reshape(h, 3, 4)
+
+    # Denormalise + rotation extraction ([H,·,·] matmuls are on the fast
+    # batched path; only transposed contractions are pathological).
+    t2_inv = jnp.zeros((h, 3, 3), dt)
+    t2_inv = t2_inv.at[:, 0, 0].set(1.0 / s2).at[:, 1, 1].set(1.0 / s2)
+    t2_inv = (
+        t2_inv.at[:, 0, 2].set(c2[:, 0]).at[:, 1, 2].set(c2[:, 1])
+        .at[:, 2, 2].set(1.0)
+    )
+    t3 = jnp.zeros((h, 4, 4), dt)
+    for d in range(3):
+        t3 = t3.at[:, d, d].set(s3)
+    t3 = t3.at[:, :3, 3].set(-s3[:, None] * c3).at[:, 3, 3].set(1.0)
+    p = t2_inv @ p_norm @ t3  # [H, 3, 4]
+    m3 = p[:, :, :3]
+    det = jnp.sum(m3[:, 0] * jnp.cross(m3[:, 1], m3[:, 2]), axis=-1)
+    p = jnp.where((det < 0)[:, None, None], -p, p)
+    rot, scale = _polar_rotation_lanes(p[:, :, :3])
+    t = p[:, :, 3] / jnp.maximum(scale, 1e-12)[:, None]
+    return rotmat_to_qvec(rot), t

@@ -4,7 +4,8 @@ Capability parity: ``pycolmap.absolute_pose_estimation`` — P3P/LO-RANSAC
 with a pixel reprojection threshold, returning pose + inlier set + count
 (``it_loc/localize_cv2.py:731``). TPU-native redesign per SURVEY §7.1:
 instead of a sequential adaptive C++ loop, H hypotheses are drawn and
-solved *simultaneously* (vmapped minimal DLT), all H×N reprojection
+solved *simultaneously* (structure-of-arrays minimal DLT,
+`pnp_dlt_fast_lanes`), all H×N reprojection
 errors are scored in one fused program, the best hypothesis wins, and a
 local-optimisation step (least-squares DLT on its inliers + masked LM)
 recovers the accuracy a sequential LO-RANSAC gets from its inner loop.
@@ -25,7 +26,11 @@ from sfd2_tpu.geometry.cameras import (
     project_points,
     unproject_normalized,
 )
-from sfd2_tpu.localization.pnp import pnp_dlt, pnp_dlt_fast, refine_pose_lm
+from sfd2_tpu.localization.pnp import (
+    pnp_dlt,
+    pnp_dlt_fast_lanes,
+    refine_pose_lm,
+)
 
 _MIN_SAMPLE = 6  # DLT minimal set
 
@@ -86,13 +91,12 @@ def pnp_ransac(
     keys = jax.random.split(key, num_hypotheses)
     sample_idx = jax.vmap(sample_one)(keys)  # [H, 6]
 
-    def solve_one(idx):
-        # Fast direct minimal solver (Cholesky inverse iteration + polar
-        # Newton) — hypothesis lanes don't need SVD-grade accuracy; the
-        # LO refits below use the careful SVD path.
-        return pnp_dlt_fast(points3d[idx], pts_norm[idx])
-
-    h_q, h_t = jax.vmap(solve_one)(sample_idx)  # [H,4], [H,3]
+    # Fast direct minimal solver (Cholesky inverse iteration + polar
+    # Newton) in structure-of-arrays form — hypothesis lanes don't need
+    # SVD-grade accuracy; the LO refits below use the careful SVD path.
+    h_q, h_t = pnp_dlt_fast_lanes(
+        points3d[sample_idx], pts_norm[sample_idx]
+    )  # [H,4], [H,3]
 
     # --- scoring --------------------------------------------------------
     def score_one(q, t):

@@ -57,6 +57,51 @@ class BAResult(NamedTuple):
     final_cost: jax.Array
 
 
+
+def _inv3_lanes(m):
+    """Closed-form inverse of batched 3x3 matrices [..., 3, 3] via the
+    adjugate (columns = cross products of the other rows). XLA's batched
+    LU path for [P,3,3] is pathologically slow on TPU; this is pure
+    elementwise/cross arithmetic over the batch lanes."""
+    r0, r1, r2 = m[..., 0, :], m[..., 1, :], m[..., 2, :]
+    c0 = jnp.cross(r1, r2)
+    c1 = jnp.cross(r2, r0)
+    c2 = jnp.cross(r0, r1)
+    det = jnp.sum(r0 * c0, axis=-1)[..., None, None]
+    return jnp.stack([c0, c1, c2], axis=-1) / det
+
+
+def _inv6_spd_lanes(m):
+    """Inverse of batched SPD 6x6 matrices [..., 6, 6] by an UNROLLED
+    Cholesky + column solves (static scalar formulas over batch-lane
+    vectors - no XLA batched-LU op). Used for the block-Jacobi
+    preconditioner; matrices are damped, so plain sqrt is safe."""
+    L = {}
+    for j in range(6):
+        d = m[..., j, j] - sum(L[(j, k)] * L[(j, k)] for k in range(j))
+        ljj = jnp.sqrt(d)
+        L[(j, j)] = ljj
+        inv = 1.0 / ljj
+        for i in range(j + 1, 6):
+            L[(i, j)] = (
+                m[..., i, j] - sum(L[(i, k)] * L[(j, k)] for k in range(j))
+            ) * inv
+    cols = []
+    zero = jnp.zeros_like(m[..., 0, 0])
+    for c in range(6):
+        y = []
+        for i in range(6):
+            e = jnp.ones_like(zero) if i == c else zero
+            y.append((e - sum(L[(i, k)] * y[k] for k in range(i))) / L[(i, i)])
+        x = [None] * 6
+        for i in range(5, -1, -1):
+            x[i] = (
+                y[i] - sum(L[(k, i)] * x[k] for k in range(i + 1, 6))
+            ) / L[(i, i)]
+        cols.append(jnp.stack(x, axis=-1))
+    return jnp.stack(cols, axis=-1)
+
+
 def _project_one(cam6, rot0, tvec0, point, cam_params):
     """Pixel projection with a local (rotvec, dt) pose perturbation."""
     rot = _axis_angle_to_rotmat(cam6[:3]) @ rot0
@@ -167,7 +212,7 @@ def bundle_adjust(
         hpp_d = hpp + (lam * jnp.maximum(jnp.einsum("pii->pi", hpp), 1e-6))[
             :, :, None
         ] * eye3[None]
-        hpp_inv = jnp.linalg.inv(hpp_d + 1e-9 * eye3[None])  # [P,3,3]
+        hpp_inv = _inv3_lanes(hpp_d + 1e-9 * eye3[None])  # [P,3,3]
 
         # Schur RHS: b̃_c = b_c − Hcp · Hpp⁻¹ · b_p (obs-wise).
         hpp_inv_bp = jnp.einsum("pjk,pk->pj", hpp_inv, bp)  # [P,3]
@@ -193,7 +238,7 @@ def bundle_adjust(
             return hcc_v - hcp_apply(tmp)
 
         # Block-Jacobi preconditioner.
-        m_inv = jnp.linalg.inv(hcc_d + 1e-9 * eye6[None])  # [C,6,6]
+        m_inv = _inv6_spd_lanes(hcc_d + 1e-9 * eye6[None])  # [C,6,6]
 
         def prec(vc):
             return jnp.einsum("cjk,ck->cj", m_inv, vc)

@@ -160,3 +160,30 @@ def test_pnp_dlt_fast_matches_svd_path():
         np.testing.assert_allclose(np.asarray(t_s), np.asarray(t_f),
                                    atol=2e-2, rtol=2e-2)
     assert checked >= 6  # the skip gate must not hollow out the test
+
+
+def test_pnp_dlt_fast_lanes_matches_vmapped(rng):
+    """The SoA hypothesis-lanes solver agrees with vmap(pnp_dlt_fast)."""
+    import jax
+    import jax.numpy as jnp
+    from sfd2_tpu.localization.pnp import pnp_dlt_fast, pnp_dlt_fast_lanes
+
+    h = 32
+    p3 = rng.uniform([-4, -3, 6], [4, 3, 14], size=(h, 6, 3)).astype(np.float32)
+    q = np.array([0.96, 0.1, -0.2, 0.15], np.float32)
+    q /= np.linalg.norm(q)
+    r = Rotation.from_quat(q[[1, 2, 3, 0]]).as_matrix().astype(np.float32)
+    t = np.array([0.3, -0.2, 0.5], np.float32)
+    cam = (p3 @ r.T) + t
+    p2 = (cam[..., :2] / cam[..., 2:3]).astype(np.float32)
+
+    ql, tl = pnp_dlt_fast_lanes(jnp.asarray(p3), jnp.asarray(p2))
+    qv, tv = jax.vmap(pnp_dlt_fast)(jnp.asarray(p3), jnp.asarray(p2))
+    ql, tl, qv, tv = map(np.asarray, (ql, tl, qv, tv))
+    # quaternion sign is arbitrary
+    sign = np.sign(np.sum(ql * qv, axis=1, keepdims=True))
+    np.testing.assert_allclose(ql * sign, qv, atol=2e-3)
+    np.testing.assert_allclose(tl, tv, atol=2e-2)
+    # and both recover the ground truth
+    sign_gt = np.sign(ql @ q)[:, None]
+    np.testing.assert_allclose(ql * sign_gt, np.tile(q, (h, 1)), atol=2e-2)
