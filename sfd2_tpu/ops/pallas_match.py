@@ -325,6 +325,19 @@ def _epilogue_args(nn12, row_arrays):
     ]
 
 
+def _tiled_blocks(n1: int, n2: int) -> tuple[int, int]:
+    """Largest power-of-two tile sizes ≤ 1024 dividing n1/n2 (tiled
+    fallback path)."""
+
+    def pick(n):
+        for b in (1024, 512, 256, 128, 64, 32, 16, 8):
+            if n % b == 0:
+                return b
+        return n
+
+    return pick(n1), pick(n2)
+
+
 # Above this VMEM footprint for the full-width stripe (d2 bank + stripe +
 # reduction temporaries), fall back to the tiled kernel.
 _FULLWIDTH_VMEM_BYTES = 40 << 20
@@ -372,8 +385,9 @@ def mutual_nn_match_pallas(
 
     bm = _fullwidth_block_m(n1, n2, c, block_m)
     if bm is None:  # huge DB bank: tiled kernel + back-pointer check
+        tbm, tbn = _tiled_blocks(n1, n2)
         rmax, nn12, _, nn21 = nn_argmax_pallas(
-            desc0, desc1, valid0, valid1, interpret=interpret
+            desc0, desc1, valid0, valid1, tbm, tbn, interpret=interpret
         )
         ids = jnp.arange(n1, dtype=nn12.dtype)[None, :]
         back = jnp.take_along_axis(nn21, nn12, axis=1)
@@ -659,8 +673,9 @@ def mutual_nn_ratio_match_pallas(
 
     bm = _fullwidth_block_m(n1, n2, c, block_m)
     if bm is None:  # huge DB bank: tiled kernel + back-pointer check
+        tbm, tbn = _tiled_blocks(n1, n2)
         m1, nn12, m1b, c1, nn21, c1b = nn_top2_pallas(
-            desc0, desc1, valid0, valid1, interpret=interpret
+            desc0, desc1, valid0, valid1, tbm, tbn, interpret=interpret
         )
         ratios12 = dist(m1) / (dist(m1b) + 1e-8)
         ratios21 = dist(c1) / (dist(c1b) + 1e-8)

@@ -137,3 +137,23 @@ def test_pallas_mutual_tie_semantics(rng):
     untied = np.ones(n, bool)
     untied[[0, 64]] = False
     np.testing.assert_array_equal(m_pal[0, untied], m_ref[0, untied])
+
+
+def test_pallas_fullwidth_fallback_tiled(rng, monkeypatch):
+    """When the full-width stripe would not fit VMEM, the mutual matcher
+    must fall back to the tiled kernel and still match the XLA path."""
+    import sfd2_tpu.ops.pallas_match as pm
+
+    monkeypatch.setattr(pm, "_FULLWIDTH_VMEM_BYTES", 1)  # force fallback
+    b, n, c = 2, 128, 16
+    d0 = unit(rng, b, n, c)
+    d1 = unit(rng, b, n, c)
+    v = jnp.ones((b, n), bool)
+    assert pm._fullwidth_block_m(n, n, c, 64) is None
+    m_pal, _ = pm.mutual_nn_match_pallas.__wrapped__(
+        jnp.array(d0), jnp.array(d1), v, v, block_m=64, block_n=128,
+        interpret=INTERPRET,
+    )
+    from sfd2_tpu.ops.matching import mutual_nn_match_batch
+    m_ref, _ = mutual_nn_match_batch(jnp.array(d0), jnp.array(d1), v, v)
+    np.testing.assert_array_equal(np.array(m_pal), np.array(m_ref))
