@@ -355,8 +355,6 @@ def pnp_dlt_fast_lanes(points3d: jax.Array, points2d_norm: jax.Array):
     """
     h, n = points3d.shape[0], points3d.shape[1]
     dt = points3d.dtype
-    w = jnp.ones((h, n), dt)
-    wsum = float(n)
 
     # Hartley normalisation (per hypothesis, elementwise).
     c3 = jnp.mean(points3d, axis=1)  # [H, 3]

@@ -149,7 +149,13 @@ def extract_keypoints(
     keep = (scores > conf_threshold) & border_ok
     masked = jnp.where(keep, scores, -jnp.inf).reshape(b, h * w)
 
-    if label_map is None and h % 4 == 0 and w % 4 == 0 and nms_radius >= 3:
+    if (
+        label_map is None
+        and h % 4 == 0
+        and w % 4 == 0
+        and nms_radius >= 3
+        and k <= (h // 4) * (w // 4)
+    ):
         top_scores, top_idx = _top_k_nms_cells(masked, k, h, w)
     elif label_map is None:
         top_scores, top_idx = jax.lax.top_k(masked, k)

@@ -346,6 +346,11 @@ _FULLWIDTH_VMEM_BYTES = 40 << 20
 def _fullwidth_block_m(n1: int, n2: int, c: int, block_m: int) -> int | None:
     """Largest row-stripe height ≤ block_m that divides n1 and fits the
     full-width layout in VMEM; None → use the tiled fallback."""
+    if n1 % 128 or n2 % 128:
+        # The dynamic-gather epilogue reshapes row arrays to [·, 128]
+        # lanes and walks the cmax table in 128-wide chunks — shapes not
+        # divisible by 128 silently break both. Tiled fallback instead.
+        return None
     for bm in (256, 128, 64, 32, 16, 8):
         if bm > block_m or n1 % bm:
             continue

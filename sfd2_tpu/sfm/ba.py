@@ -79,7 +79,11 @@ def _inv6_spd_lanes(m):
     L = {}
     for j in range(6):
         d = m[..., j, j] - sum(L[(j, k)] * L[(j, k)] for k in range(j))
-        ljj = jnp.sqrt(d)
+        # f32 near-singular blocks can drive d <= 0; a NaN here would
+        # poison every camera through the global PCG dot products, so
+        # clamp to keep the preconditioner finite (huge-but-finite, like
+        # the LU inverse it replaced).
+        ljj = jnp.sqrt(jnp.maximum(d, 1e-20))
         L[(j, j)] = ljj
         inv = 1.0 / ljj
         for i in range(j + 1, 6):

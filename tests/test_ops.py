@@ -168,3 +168,19 @@ def test_grouped_conv_coarse_tiling_matches_native():
         assert out.shape == ref.shape
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_extract_small_image_large_k():
+    """max_keypoints greater than the 4x4-cell count must fall back to
+    the flat top_k (regression: 192x256 @ k=4096 crashed)."""
+    import jax
+    import jax.numpy as jnp
+    from sfd2_tpu.ops.extract import extract_keypoints
+
+    h, w, k = 192, 256, 4096
+    heat = jax.nn.sigmoid(jax.random.normal(jax.random.PRNGKey(0), (1, h, w)))
+    desc = jax.random.normal(jax.random.PRNGKey(1), (1, h // 4, w // 4, 32))
+    out = extract_keypoints(heat, desc, None, max_keypoints=k,
+                            conf_threshold=0.001)
+    assert out.xy.shape == (1, k, 2)
+    assert int(out.valid.sum()) > 0

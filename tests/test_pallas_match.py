@@ -157,3 +157,24 @@ def test_pallas_fullwidth_fallback_tiled(rng, monkeypatch):
     from sfd2_tpu.ops.matching import mutual_nn_match_batch
     m_ref, _ = mutual_nn_match_batch(jnp.array(d0), jnp.array(d1), v, v)
     np.testing.assert_array_equal(np.array(m_pal), np.array(m_ref))
+
+
+def test_pallas_non_128_divisible_uses_fallback(rng):
+    """Shapes the 128-lane epilogue can't handle (n % 128 != 0) must
+    take the tiled fallback and agree with the XLA path (regression:
+    n2=320 once silently dropped matches beyond column 256)."""
+    import sfd2_tpu.ops.pallas_match as pm
+
+    b, n1, n2, c = 2, 256, 320, 16
+    assert pm._fullwidth_block_m(n1, n2, c, 256) is None
+    d0 = unit(rng, b, n1, c)
+    d1 = unit(rng, b, n2, c)
+    v0 = jnp.ones((b, n1), bool)
+    v1 = jnp.ones((b, n2), bool)
+    m_pal, _ = pm.mutual_nn_match_pallas(
+        jnp.array(d0), jnp.array(d1), v0, v1, block_m=64, block_n=64,
+        interpret=INTERPRET,
+    )
+    from sfd2_tpu.ops.matching import mutual_nn_match_batch
+    m_ref, _ = mutual_nn_match_batch(jnp.array(d0), jnp.array(d1), v0, v1)
+    np.testing.assert_array_equal(np.array(m_pal), np.array(m_ref))
