@@ -42,6 +42,15 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e9
 
 
+def _validity_biases(valid0, valid1):
+    """[B, N] bool masks → additive −1e9 biases shaped [B, 1, N] (the
+    singleton middle dim keeps every BlockSpec's trailing dims (1, block)
+    — TPU tile-shape constraint)."""
+    bias0 = jnp.where(valid0, 0.0, _NEG).astype(jnp.float32)[:, None, :]
+    bias1 = jnp.where(valid1, 0.0, _NEG).astype(jnp.float32)[:, None, :]
+    return bias0, bias1
+
+
 def _sim_dtype(d: jax.Array) -> jax.Array:
     """Kernel input dtype: bf16 descriptors stay bf16 (full MXU rate,
     half the HBM traffic; accumulation is f32 either way via
@@ -128,11 +137,7 @@ def nn_argmax_pallas(
     n2 = desc1.shape[1]
     assert n1 % block_m == 0 and n2 % block_n == 0, (n1, n2, block_m, block_n)
 
-    # Biases and outputs carry a singleton middle dim so every BlockSpec's
-    # trailing two dims are (1, block) with 1 == the array dim (TPU
-    # lowering constraint on tile shapes).
-    bias0 = jnp.where(valid0, 0.0, _NEG).astype(jnp.float32)[:, None, :]
-    bias1 = jnp.where(valid1, 0.0, _NEG).astype(jnp.float32)[:, None, :]
+    bias0, bias1 = _validity_biases(valid0, valid1)
 
     grid = (b, n1 // block_m, n2 // block_n)
     out_shapes = (
@@ -222,34 +227,41 @@ def _kernel_mutual(
         cmax_out[0, 0, :] = cmax_s[0, :]
 
 
-def _make_epilogue_mutual(b, n1, n2):
-    """Mutual-NN epilogue kernel factory.
+def _gather_chunks(table_ref, lo, hi, b, rep, n2):
+    """In-kernel two-level gather: ``table[b, hi·128 + lo]`` for [R, 128]
+    row-shaped lo/hi over a [B, N2] table.
 
-    The [B, N1] gather ``cmax[b, nn12[b, m]]`` costs 2.1 ms on the XLA
-    scalar-gather path for [50, 4096] — more than the matching kernel
-    itself. Mosaic's ``tpu.dynamic_gather`` does it in-register but only
-    for single-vreg (128-lane) tables, so the caller reshapes everything
-    to [R, 128] rows and the kernel gathers in two levels: a lane-local
-    gather per 128-wide chunk of the table + a chunk-select on the high
-    index bits (N2/128 static iterations of pure vector ops)."""
+    Mosaic's ``tpu.dynamic_gather`` is in-register but only supports
+    single-vreg (128-lane) tables, so the table is walked in 128-wide
+    chunks: a lane-local gather per chunk + a chunk-select on hi (N2/128
+    static iterations of pure vector ops). The XLA scalar-gather
+    alternative costs 2.1 ms for [50, 4096] — more than the matching
+    kernel itself."""
+    out = jnp.full(lo.shape, _NEG * 2.0, jnp.float32)
+    for k in range(n2 // 128):
+        chunk = table_ref[:, k * 128:(k + 1) * 128]        # [B, 128]
+        chunk_rep = jnp.broadcast_to(
+            chunk[:, None, :], (b, rep, 128)
+        ).reshape(b * rep, 128)
+        g = jnp.take_along_axis(
+            chunk_rep, lo, axis=1, mode="promise_in_bounds"
+        )
+        out = jnp.where(hi == k, g, out)
+    return out
+
+
+def _make_epilogue_mutual(b, n1, n2):
+    """Mutual-NN epilogue kernel factory (see `_gather_chunks` for why
+    the gather runs in-kernel on [R, 128] rows)."""
     rep = n1 // 128
 
     def kernel(rmax_ref, nn12_ref, lo_ref, hi_ref, valid_ref, cmax_ref,
                match_ref, score_ref):
         rmax = rmax_ref[...]          # [R, 128]
         nn12 = nn12_ref[...]
-        lo = lo_ref[...]
-        hi = hi_ref[...]
-        cmax_at = jnp.full(rmax.shape, _NEG * 2.0, jnp.float32)
-        for k in range(n2 // 128):
-            chunk = cmax_ref[:, k * 128:(k + 1) * 128]        # [B, 128]
-            chunk_rep = jnp.broadcast_to(
-                chunk[:, None, :], (b, rep, 128)
-            ).reshape(b * rep, 128)
-            g = jnp.take_along_axis(
-                chunk_rep, lo, axis=1, mode="promise_in_bounds"
-            )
-            cmax_at = jnp.where(hi == k, g, cmax_at)
+        cmax_at = _gather_chunks(
+            cmax_ref, lo_ref[...], hi_ref[...], b, rep, n2
+        )
         alive = rmax > _NEG / 2
         ok = (rmax == cmax_at) & alive & (valid_ref[...] != 0)
         match_ref[...] = jnp.where(ok, nn12, -1)
@@ -273,22 +285,8 @@ def _make_epilogue_ratio(b, n1, n2):
         nn12 = nn12_ref[...]
         lo = lo_ref[...]
         hi = hi_ref[...]
-        c1_at = jnp.full(rmax.shape, _NEG * 2.0, jnp.float32)
-        c2_at = jnp.full(rmax.shape, _NEG * 2.0, jnp.float32)
-        for k in range(n2 // 128):
-            sel = hi == k
-            for ref, acc in ((cmax_ref, 0), (cmax2_ref, 1)):
-                chunk = ref[:, k * 128:(k + 1) * 128]
-                chunk_rep = jnp.broadcast_to(
-                    chunk[:, None, :], (b, rep, 128)
-                ).reshape(b * rep, 128)
-                g = jnp.take_along_axis(
-                    chunk_rep, lo, axis=1, mode="promise_in_bounds"
-                )
-                if acc == 0:
-                    c1_at = jnp.where(sel, g, c1_at)
-                else:
-                    c2_at = jnp.where(sel, g, c2_at)
+        c1_at = _gather_chunks(cmax_ref, lo, hi, b, rep, n2)
+        c2_at = _gather_chunks(cmax2_ref, lo, hi, b, rep, n2)
 
         def dist(v):
             return jnp.sqrt(jnp.maximum(2.0 - 2.0 * v, 0.0))
@@ -309,20 +307,16 @@ def _make_epilogue_ratio(b, n1, n2):
     return kernel
 
 
-def _epilogue_args(nn12, row_arrays):
-    """Reshape [B, N1] row arrays to [B*N1/128, 128] and split nn12 into
-    lane-local / chunk indices for the two-level gather."""
+def _epilogue_rows(nn12):
+    """(reshape-to-[R,128] helper, lo, hi) for the two-level gather: lo =
+    lane-local index, hi = 128-chunk index, both in [R, 128] row form."""
     b, n1 = nn12.shape
     r = b * n1 // 128
 
     def rs(x):
         return x.reshape(r, 128)
 
-    lo = rs(nn12 & 127)
-    hi = rs(jax.lax.shift_right_logical(nn12, 7))
-    return [rs(a) for a in row_arrays[:2]] + [lo, hi] + [
-        rs(a) for a in row_arrays[2:]
-    ]
+    return rs, rs(nn12 & 127), rs(jax.lax.shift_right_logical(nn12, 7))
 
 
 def _tiled_blocks(n1: int, n2: int) -> tuple[int, int]:
@@ -401,8 +395,7 @@ def mutual_nn_match_pallas(
         scores0 = jnp.where(rmax > _NEG / 2, rmax, 0.0)
         return matches0, scores0
 
-    bias0 = jnp.where(valid0, 0.0, _NEG).astype(jnp.float32)[:, None, :]
-    bias1 = jnp.where(valid1, 0.0, _NEG).astype(jnp.float32)[:, None, :]
+    bias0, bias1 = _validity_biases(valid0, valid1)
     grid = (b, n1 // bm)
     row_spec = pl.BlockSpec((1, 1, bm), lambda b_, i: (b_, 0, i))
     col_spec = pl.BlockSpec((1, 1, n2), lambda b_, i: (b_, 0, 0))
@@ -440,7 +433,8 @@ def mutual_nn_match_pallas(
     # Mutual iff row i's best score IS column nn12[i]'s best score
     # (epilogue kernel: in-register dynamic gather, see
     # _make_epilogue_mutual).
-    args = _epilogue_args(nn12, (rmax, nn12, valid0.astype(jnp.int32)))
+    rs, lo, hi = _epilogue_rows(nn12)
+    args = (rs(rmax), rs(nn12), lo, hi, rs(valid0.astype(jnp.int32)))
     r = b * n1 // 128
     match_r, score_r = pl.pallas_call(
         _make_epilogue_mutual(b, n1, n2),
@@ -558,8 +552,7 @@ def nn_top2_pallas(
     n2 = desc1.shape[1]
     assert n1 % block_m == 0 and n2 % block_n == 0
 
-    bias0 = jnp.where(valid0, 0.0, _NEG).astype(jnp.float32)[:, None, :]
-    bias1 = jnp.where(valid1, 0.0, _NEG).astype(jnp.float32)[:, None, :]
+    bias0, bias1 = _validity_biases(valid0, valid1)
     grid = (b, n1 // block_m, n2 // block_n)
     out_shapes = (
         jax.ShapeDtypeStruct((b, 1, n1), jnp.float32),
@@ -698,8 +691,7 @@ def mutual_nn_ratio_match_pallas(
         scores0 = jnp.where(m1 > _NEG / 2, m1, 0.0)
         return matches0, scores0
 
-    bias0 = jnp.where(valid0, 0.0, _NEG).astype(jnp.float32)[:, None, :]
-    bias1 = jnp.where(valid1, 0.0, _NEG).astype(jnp.float32)[:, None, :]
+    bias0, bias1 = _validity_biases(valid0, valid1)
     grid = (b, n1 // bm)
     row_spec = pl.BlockSpec((1, 1, bm), lambda b_, i: (b_, 0, i))
     col_spec = pl.BlockSpec((1, 1, n2), lambda b_, i: (b_, 0, 0))
@@ -739,12 +731,10 @@ def mutual_nn_ratio_match_pallas(
     c1, c1b = c1[:, 0], c1b[:, 0]
 
     r = b * n1 // 128
-    ratio_arr = jnp.broadcast_to(
-        jnp.asarray(ratio, jnp.float32), (r, 128)
-    )
-    args = _epilogue_args(
-        nn12, (m1, nn12, m1b, valid0.astype(jnp.int32))
-    ) + [ratio_arr]
+    rs, lo, hi = _epilogue_rows(nn12)
+    ratio_arr = jnp.broadcast_to(jnp.asarray(ratio, jnp.float32), (r, 128))
+    args = (rs(m1), rs(nn12), lo, hi, rs(m1b),
+            rs(valid0.astype(jnp.int32)), ratio_arr)
     match_r, score_r = pl.pallas_call(
         _make_epilogue_ratio(b, n1, n2),
         out_shape=(

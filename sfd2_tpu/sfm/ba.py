@@ -57,7 +57,6 @@ class BAResult(NamedTuple):
     final_cost: jax.Array
 
 
-
 def _inv3_lanes(m):
     """Closed-form inverse of batched 3x3 matrices [..., 3, 3] via the
     adjugate (columns = cross products of the other rows). XLA's batched
