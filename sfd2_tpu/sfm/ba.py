@@ -30,6 +30,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from sfd2_tpu.ops.pallas_gather import gather_rows
 from sfd2_tpu.geometry.cameras import _distort
 from sfd2_tpu.geometry.rotations import qvec_to_rotmat, rotmat_to_qvec
 from sfd2_tpu.localization.pnp import _axis_angle_to_rotmat
@@ -155,14 +156,24 @@ def bundle_adjust(
         rot0 = qvec_to_rotmat(qvecs)
         return rot0, tvecs, points
 
+    def gather_obs(rot0, tvecs, points):
+        """Per-observation camera/point blocks via the pallas row gather
+        (XLA's scalar gather on [O]←[P] costs ~1 ms per pass here)."""
+        rot_o = gather_rows(rot0.reshape(n_cam, 9), obs_cam).reshape(-1, 3, 3)
+        t_o = gather_rows(tvecs, obs_cam)
+        p_o = gather_rows(points, obs_point)
+        cp_o = gather_rows(cam_params_all, obs_cam)
+        return rot_o, t_o, p_o, cp_o
+
     def cost_of(rot0, tvecs, points):
-        def res(o_xy, o_c, o_p):
+        rot_o, t_o, p_o, cp_o = gather_obs(rot0, tvecs, points)
+
+        def res(o_xy, ro, to, po, cpo):
             return _residual_one(
-                jnp.zeros(6), jnp.zeros(3), rot0[o_c], tvecs[o_c],
-                points[o_p], cam_params_all[o_c], o_xy,
+                jnp.zeros(6), jnp.zeros(3), ro, to, po, cpo, o_xy,
             )
 
-        r = jax.vmap(res)(obs_xy, obs_cam, obs_point)  # [O, 2]
+        r = jax.vmap(res)(obs_xy, rot_o, t_o, p_o, cp_o)  # [O, 2]
         r2 = jnp.sum(r * r, axis=1)
         hw = _huber_weight(r2, huber_delta)
         # Huber cost (integrated form).
@@ -175,20 +186,19 @@ def bundle_adjust(
     def gn_step(rot0, tvecs, points, lam):
         """One damped GN step via Schur PCG. Returns (dcam [C,6], dpt [P,3])."""
 
-        def jac_res(o_xy, o_c, o_p):
-            f = lambda c6, dp: _residual_one(
-                c6, dp, rot0[o_c], tvecs[o_c], points[o_p],
-                cam_params_all[o_c], o_xy,
-            )
+        rot_o, t_o, p_o, cp_o = gather_obs(rot0, tvecs, points)
+
+        def jac_res(o_xy, ro, to, po, cpo):
+            f = lambda c6, dp: _residual_one(c6, dp, ro, to, po, cpo, o_xy)
             r = f(jnp.zeros(6), jnp.zeros(3))
             jc, jp = jax.jacfwd(f, argnums=(0, 1))(jnp.zeros(6), jnp.zeros(3))
             return r, jc, jp  # [2], [2,6], [2,3]
 
-        r, jc, jp = jax.vmap(jac_res)(obs_xy, obs_cam, obs_point)
+        r, jc, jp = jax.vmap(jac_res)(obs_xy, rot_o, t_o, p_o, cp_o)
         r2 = jnp.sum(r * r, axis=1)
         w = base_w * _huber_weight(r2, huber_delta)  # IRLS weights [O]
         # Zero camera Jacobians of fixed cameras.
-        jc = jc * free_cam[obs_cam][:, None, :]
+        jc = jc * gather_rows(free_cam, obs_cam)[:, None, :]
         if not optimize_points:
             jp = jp * 0.0
 
@@ -222,13 +232,13 @@ def bundle_adjust(
 
         def hcp_apply(vp):  # [P,3] → [C,6]: Σ_o w Jcᵀ Jp v_p(o)
             contrib = jnp.einsum(
-                "oij,oik,ok->oj", jc * wj, jp, vp[obs_point]
+                "oij,oik,ok->oj", jc * wj, jp, gather_rows(vp, obs_point)
             )
             return jax.ops.segment_sum(contrib, obs_cam, n_cam)
 
         def hpc_apply(vc):  # [C,6] → [P,3]
             contrib = jnp.einsum(
-                "oik,oij,oj->ok", jp * wj, jc, vc[obs_cam]
+                "oik,oij,oj->ok", jp * wj, jc, gather_rows(vc, obs_cam)
             )
             return jax.ops.segment_sum(contrib, obs_point, n_pt)
 

@@ -157,3 +157,16 @@ def test_ba_sharded_observations(rng):
     np.testing.assert_allclose(
         np.asarray(res_sharded.points), np.asarray(res_ref.points), atol=1e-3
     )
+
+
+def test_gather_rows_pallas_matches_take(rng):
+    """Two-level pallas row gather == jnp.take (interpret mode on CPU),
+    including non-128-multiple index and table sizes."""
+    import jax.numpy as jnp
+    from sfd2_tpu.ops.pallas_gather import gather_rows_pallas
+
+    table = rng.normal(size=(300, 3)).astype(np.float32)
+    idx = rng.integers(0, 300, size=517).astype(np.int32)
+    out = gather_rows_pallas(jnp.asarray(table), jnp.asarray(idx),
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(out), table[idx], rtol=0, atol=0)
