@@ -1,5 +1,7 @@
 """Benchmark: per-stage device timings for the full localization pipeline
-on one chip, plus an MFU estimate for the extraction forward.
+on one chip, plus an MFU/roofline estimate for the extraction forward, an
+on-device Pallas-kernel exactness self-check, and an honest end-to-end
+`LocalizationEngine.localize` wall-clock measurement.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
@@ -8,35 +10,92 @@ Headline metric: frames/s/chip over the north-star pipeline
 (BASELINE.md: "extraction + matching + BA") —
   per-frame time = extract + match(50 candidates) + PnP-RANSAC
                  + covisibility refinement PnP + amortised map BA/frame.
-The BA stage builds + solves a Schur/CG bundle adjustment over a 50-frame
-synthetic map and its cost is divided by the frame count (map building is
-per-map work, not per-query; the reference runs COLMAP point_triangulator
-once per dataset).
 
-The reference publishes no speed numbers, so vs_baseline compares against
-the PREVIOUS round's BENCH_r*.json (round-over-round ledger); 1.0 when no
-prior bench exists.
+Wedge survivability (the sandbox TPU sits behind a relay that can hang
+calls for 30+ minutes — see CLAUDE.md):
+  * every stage writes its result into a shared dict the moment it is
+    measured, and the watchdog emits whatever is there when the budget
+    expires — a wedge mid-run reports the stages that DID run;
+  * measurement pass 1 covers ALL stages and composes a full headline
+    BEFORE pass 2 / extras refine it, so a late wedge still yields a
+    complete number;
+  * a persistent JAX compilation cache (.jax_cache/) makes retry runs
+    skip the multi-minute remote compiles;
+  * every attempt appends a timestamped record to BENCH_ATTEMPTS.jsonl
+    (evidence trail distinguishing "relay wedged" from "never tried").
 
-Timing method: the sandbox TPU sits behind a high-latency relay
-(~50-100 ms RPC round-trip), so each stage processes a BATCH of items
-per dispatch (amortising the round-trip), is fenced by a small host
+Timing method: each stage processes a BATCH of items per dispatch
+(amortising the ~25-100 ms relay round-trip), is fenced by a small host
 transfer, and the relay RTT (measured with a trivial op) is subtracted;
-medians over repeats are reported.
+MIN across windows and across two passes is reported (relay noise is
+strictly additive — see _timed_per_item).
 
-MFU: extraction FLOPs come from XLA's compiled cost analysis; the
-denominator is the chip's measured large-GEMM rate (a 4096³ matmul timed
-the same way), so `mfu` = achieved FLOP/s ÷ measured-GEMM FLOP/s.
+vs_baseline: the reference publishes no speed numbers, so the ledger is
+round-over-round: baseline = the highest-round BENCH_r*.json with
+value>0 whose round is LOWER than the inferred current round
+(max existing round + 1) — a rerun after this round's artifact lands
+compares against it rather than silently against itself; the chosen
+file is reported as `vs_baseline_ref`.
+
+Env knobs: BENCH_BUDGET_S (default 1680), BENCH_PASSES (2),
+BENCH_E2E / BENCH_EXACT (1), BENCH_QUICK=1 (small shapes, CPU-friendly).
 """
 
 from __future__ import annotations
 
 import glob
 import json
+import os
 import re
+import sys
+import threading
 import time
 import traceback
 
 import numpy as np
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_METRIC = "localization_pipeline_frames_per_s_per_chip"
+_STAGES = ("extract", "match", "pnp", "refine", "ba")  # headline terms
+
+
+def _append_attempt(record: dict) -> None:
+    try:
+        record = dict(record, ts=time.time(),
+                      iso=time.strftime("%Y-%m-%dT%H:%M:%S"))
+        with open(os.path.join(_REPO, "BENCH_ATTEMPTS.jsonl"), "a") as f:
+            f.write(json.dumps(record) + "\n")
+    except Exception:
+        pass
+
+
+def _prev_bench():
+    """(ref_name, value) for the ledger baseline + the r01 value.
+
+    Current round is inferred as max(existing BENCH_r N) + 1, so the
+    baseline is always a PRIOR round's artifact (never this run's own
+    output re-read after the driver saves it)."""
+    rounds = {}
+    for p in glob.glob(os.path.join(_REPO, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json", p)
+        if not m:
+            continue
+        try:
+            data = json.loads(open(p).read())
+            parsed = data.get("parsed", data)
+            v = float(parsed.get("value", 0.0))
+        except Exception:
+            continue
+        rounds[int(m.group(1))] = v
+    if not rounds:
+        return None, None, None
+    current = max(rounds) + 1
+    prior = [(n, v) for n, v in rounds.items() if v > 0 and n < current]
+    r01 = rounds.get(1)
+    if not prior:
+        return None, None, r01
+    n, v = max(prior)
+    return f"BENCH_r{n:02d}", v, r01
 
 
 def _timed_per_item(fn, fence, items_per_call, iters=3, inner=8, rtt=0.0):
@@ -45,16 +104,14 @@ def _timed_per_item(fn, fence, items_per_call, iters=3, inner=8, rtt=0.0):
 
     The relay RTT (~25-35 ms, jittery) is paid once per *window*, not per
     dispatch, so the subtraction is a small correction instead of the
-    dominant term — a mis-estimated RTT previously could zero out short
-    stages entirely (negative device time → nonsense MFU). The estimator
-    is the MIN across windows, not the median: the relay intermittently
-    enters multi-second turbulence phases that inflate whole windows by
-    10-30× (device time is fixed; relay noise is strictly additive), and
-    a median over 3-4 windows cannot reject a majority-turbulent sample.
-    run_bench additionally measures every stage in TWO passes separated
-    by the other stages' work (minutes apart) and keeps per-stage minima,
-    since a turbulence phase usually covers all back-to-back windows of
-    a single stage.
+    dominant term. The estimator is the MIN across windows, not the
+    median: the relay intermittently enters multi-second turbulence
+    phases that inflate whole windows by 10-30× (device time is fixed;
+    relay noise is strictly additive), and a median over 3-4 windows
+    cannot reject a majority-turbulent sample. run_bench additionally
+    measures every stage in TWO passes separated by the other stages'
+    work (minutes apart) and keeps per-stage minima, since a turbulence
+    phase usually covers all back-to-back windows of a single stage.
     """
     ts = []
     for _ in range(iters):
@@ -68,26 +125,101 @@ def _timed_per_item(fn, fence, items_per_call, iters=3, inner=8, rtt=0.0):
     return max(t_window - rtt, t_window * 0.05) / (inner * items_per_call)
 
 
-def _prev_bench_value() -> float | None:
-    """Latest BENCH_r*.json headline value > 0 (round ledger)."""
-    best = None
-    for p in glob.glob("BENCH_r*.json"):
-        m = re.search(r"BENCH_r(\d+)\.json", p)
-        if not m:
-            continue
-        try:
-            data = json.loads(open(p).read())
-            parsed = data.get("parsed", data)
-            v = float(parsed.get("value", 0.0))
-        except Exception:
-            continue
-        if v > 0 and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), v)
-    return best[1] if best else None
+def _compose(shared: dict) -> dict:
+    """Build the emittable JSON from whatever has been measured so far."""
+    times = shared.get("times", {})
+    n_db = shared.get("n_db", 50)
+    have = [s for s in _STAGES if s in times]
+    stage_s = {
+        "extract": times.get("extract"),
+        "match": times.get("match", 0.0) * n_db if "match" in times else None,
+        "pnp": times.get("pnp"),
+        "refine": times.get("refine"),
+        "ba": (times.get("ba", 0.0) / shared.get("ba_frames", n_db)
+               if "ba" in times else None),
+    }
+    frame_time = sum(stage_s[s] for s in have)
+    fps = 1.0 / frame_time if frame_time > 0 else 0.0
+    complete = len(have) == len(_STAGES)
+    ref, prev, r01 = _prev_bench()
+
+    unit = ("frames/s (1024px extract@4096kp + 50-pair mutual-NN + "
+            "PnP-RANSAC + 5-iter LM refine + map-BA/50 frames; device "
+            "time, relay RTT subtracted)")
+    if not complete:
+        unit = (f"frames/s over PARTIAL stages [{'+'.join(have)}] "
+                "(relay wedge cut the run; device time, RTT subtracted)")
+
+    out = {
+        "metric": _METRIC,
+        "value": round(fps, 3),
+        "unit": unit,
+        "vs_baseline": round(fps / prev, 3) if prev else 1.0,
+        "platform": shared.get("platform", "?"),
+        "passes_completed": shared.get("passes_completed", 0),
+    }
+    if not complete:
+        out["partial"] = True
+        out["stages_measured"] = have
+    if ref:
+        out["vs_baseline_ref"] = ref
+        out["prev_round_fps"] = prev
+    if r01:
+        out["vs_r01"] = round(fps / r01, 3)
+        out["r01_note"] = "r01 metric covered extract+match only"
+
+    for s in have:
+        key = {"match": "match50_ms"}.get(s, f"{s}_ms")
+        val = stage_s[s] if s != "ba" else times["ba"]
+        out[key] = round(val * 1e3, 2)
+    if "ba" in have:
+        out["ba_ms_per_frame"] = round(stage_s["ba"] * 1e3, 3)
+
+    if "gemm" in times and shared.get("gemm_flops_total"):
+        gemm_rate = shared["gemm_flops_total"] / times["gemm"]
+        out["measured_gemm_tflops"] = round(gemm_rate / 1e12, 1)
+        ex_flops = shared.get("extract_flops", 0.0)
+        if ex_flops and "extract" in times:
+            out["extract_gflops"] = round(
+                ex_flops / shared["ex_batch"] / 1e9, 1)
+            out["mfu"] = round(
+                (ex_flops / shared["ex_batch"]) / times["extract"]
+                / gemm_rate, 3)
+        ex_bytes = shared.get("extract_bytes", 0.0)
+        if ex_bytes and "extract" in times:
+            gbs = ex_bytes / shared["ex_batch"] / times["extract"] / 1e9
+            out["extract_hbm_gb_per_s"] = round(gbs, 1)
+            # v5e HBM peak 819 GB/s: achieved fraction of the memory
+            # roofline, next to mfu (compute roofline) — whichever is
+            # higher names the binding resource.
+            out["extract_membw_frac"] = round(gbs / 819.0, 3)
+    if "rtt" in shared:
+        out["relay_rtt_ms"] = round(shared["rtt"] * 1e3, 2)
+    if "matcher" in shared:
+        out["matcher"] = shared["matcher"]
+    for k in ("kernels_exact", "kernel_deltas", "e2e_query_ms",
+              "e2e_note", "stage_errors"):
+        if shared.get(k) is not None and shared.get(k) != {}:
+            out[k] = shared[k]
+    return out
 
 
-def run_bench():
+def run_bench(shared: dict) -> dict:
+    quick = os.environ.get("BENCH_QUICK") == "1"
+    n_passes = int(os.environ.get("BENCH_PASSES", "2"))
+
     import jax
+
+    # Persistent compilation cache: remote TPU compiles take minutes and
+    # are the wedge-vulnerable phase — retries must skip them.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(_REPO, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from sfd2_tpu.models.sfd2 import ResSegNetV2
@@ -97,11 +229,16 @@ def run_bench():
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
+    shared["platform"] = platform
+    shared["phase"] = "setup"
+    times = shared.setdefault("times", {})
+    errors = shared.setdefault("stage_errors", {})
 
-    h = w = 1024
-    k = 4096
+    h = w = 256 if quick else 1024
+    k = 512 if quick else 4096
     c = 128
-    n_db = 50  # candidate DB frames per query (test_aachenv_1_1 NetVLAD top-50)
+    n_db = 50  # candidate DB frames per query (test_aachen NetVLAD top-50)
+    shared["n_db"] = n_db
     ex_batch = 8 if on_tpu else 1
     match_chunk = n_db if on_tpu else 10
 
@@ -116,10 +253,14 @@ def run_bench():
         t0 = time.perf_counter()
         np.asarray(tiny_f(tiny, float(i + 1))[0, :4])
         rtts.append(time.perf_counter() - t0)
-    # min, not median: RTT is a fixed overhead plus positive jitter.
-    rtt = min(rtts)
+    rtt = min(rtts)  # min, not median: fixed overhead plus positive jitter
+    shared["rtt"] = rtt
+    shared["result"] = _compose(shared)
+
+    stages = []  # (name, fn, fence, items_per_call, inner)
 
     # --- measured large-GEMM rate (MFU denominator) ---------------------
+    shared["phase"] = "compile:gemm"
     gemm_n = 4096 if on_tpu else 512
     a = jax.random.normal(jax.random.fold_in(key, 1), (gemm_n, gemm_n), jnp.float32)
     b = jax.random.normal(jax.random.fold_in(key, 2), (gemm_n, gemm_n), jnp.float32)
@@ -133,15 +274,39 @@ def run_bench():
         return x
 
     np.asarray(gemm_loop(a, b)[0, :4])
-    stages = []  # (name, fn, fence, items_per_call, inner)
     stages.append(("gemm", lambda: gemm_loop(a, b),
                    lambda o: np.asarray(o[0, :4]), 1, 8))
-    gemm_flops_total = reps * 2 * gemm_n**3
+    shared["gemm_flops_total"] = reps * 2 * gemm_n**3
+
+    # --- matching (50 candidate DB frames per query) --------------------
+    # Set up BEFORE extraction: its compile is seconds, extraction's is
+    # minutes — if the relay wedges during the extract compile the match
+    # stage is already runnable.
+    shared["phase"] = "compile:match"
+
+    def unit(key, shape):
+        d = jax.random.normal(key, shape, jnp.float32)
+        return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    qdj = unit(jax.random.fold_in(key, 4), (match_chunk, k, c))
+    ddj = unit(jax.random.fold_in(key, 5), (match_chunk, k, c))
+
+    if on_tpu:
+        match = lambda: mutual_nn_match_pallas(qdj, ddj, None, None)[0]
+        shared["matcher"] = "pallas"
+    else:
+        vm = jax.jit(jax.vmap(lambda a, b: mutual_nn_match(a, b, None, None)))
+        match = lambda: vm(qdj, ddj)[0]
+        shared["matcher"] = "xla"
+    np.asarray(match()[:, :4])  # compile + warm
+    stages.append(("match", match, lambda o: np.asarray(o[:, :4]),
+                   match_chunk, 8))
 
     # --- extraction -----------------------------------------------------
     # bf16 trunk on TPU (the production Extractor default): f32 matmuls
     # already run at bf16 MXU precision on TPU, so bf16 cuts HBM traffic
     # only — heads stay f32 (see models/sfd2.py).
+    shared["phase"] = "compile:extract"
     ex_dtype = jnp.bfloat16 if on_tpu else jnp.float32
     model = ResSegNetV2(require_stability=True, dtype=ex_dtype)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32))
@@ -161,39 +326,23 @@ def run_bench():
         )
 
     imgs = jax.random.normal(jax.random.fold_in(key, 3), (ex_batch, h, w, 3), jnp.float32)
-    # FLOPs from XLA's own cost analysis of the compiled program.
+    # FLOPs + HBM bytes from XLA's own cost analysis of the compiled
+    # program (roofline numerators).
     try:
         cost = jax.jit(extract).lower(variables, imgs).compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
-        extract_flops = float(cost.get("flops", 0.0))
+        shared["extract_flops"] = float(cost.get("flops", 0.0))
+        shared["extract_bytes"] = float(cost.get("bytes accessed", 0.0))
     except Exception:
-        extract_flops = 0.0
+        shared["extract_flops"] = shared["extract_bytes"] = 0.0
+    shared["ex_batch"] = ex_batch
     np.asarray(extract(variables, imgs).scores)  # compile + warm
-
     stages.append(("extract", lambda: extract(variables, imgs),
                    lambda o: np.asarray(o.scores[:, :8]), ex_batch, 8))
 
-    # --- matching (50 candidate DB frames per query) --------------------
-    def unit(key, shape):
-        d = jax.random.normal(key, shape, jnp.float32)
-        return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-
-    qdj = unit(jax.random.fold_in(key, 4), (match_chunk, k, c))
-    ddj = unit(jax.random.fold_in(key, 5), (match_chunk, k, c))
-
-    if on_tpu:
-        match = lambda: mutual_nn_match_pallas(qdj, ddj, None, None)[0]
-        matcher_name = "pallas"
-    else:
-        vm = jax.jit(jax.vmap(lambda a, b: mutual_nn_match(a, b, None, None)))
-        match = lambda: vm(qdj, ddj)[0]
-        matcher_name = "xla"
-    np.asarray(match()[:, :4])  # compile + warm
-    stages.append(("match", match, lambda o: np.asarray(o[:, :4]),
-                   match_chunk, 8))
-
     # --- PnP-RANSAC + covisibility-refinement PnP -----------------------
+    shared["phase"] = "compile:pnp"
     from sfd2_tpu.geometry.cameras import canonicalize_params, project_points
     from sfd2_tpu.localization.pnp import refine_pose_lm
     from sfd2_tpu.localization.ransac import pnp_ransac
@@ -230,6 +379,8 @@ def run_bench():
 
     # Refinement: 5 masked-LM iterations on the inlier set (iters knob of
     # test_aachenv_1_1) — jitted as ONE program.
+    shared["phase"] = "compile:refine"
+
     @jax.jit
     def refine(qv, tv, xy, p3, w):
         for _ in range(5):
@@ -244,12 +395,14 @@ def run_bench():
                    lambda o: np.asarray(o[0]), 1, 24))
 
     # --- map BA (amortised per frame) -----------------------------------
+    shared["phase"] = "compile:ba"
     from sfd2_tpu.sfm.ba import BAProblem, bundle_adjust
 
     n_cams = n_db
     n_pts = 8192 if on_tpu else 1024
     obs_per_cam = 1024 if on_tpu else 128
     n_obs = n_cams * obs_per_cam
+    shared["ba_frames"] = n_cams
     kb = jax.random.fold_in(key, 7)
     ba_pts = jnp.stack([
         jax.random.uniform(jax.random.fold_in(kb, 0), (n_pts,), minval=-8, maxval=8),
@@ -281,90 +434,201 @@ def run_bench():
     stages.append(("ba", lambda: ba(problem),
                    lambda o: np.asarray(o.final_cost), 1, 3))
 
-    # --- two measurement passes, per-stage minima -----------------------
-    times = {}
-    for _pass in range(2):
+    # --- measurement passes: per-stage minima, result updated live ------
+    for p in range(n_passes):
         for name, fn, fence, items, inner in stages:
-            t = _timed_per_item(fn, fence, items, inner=inner, rtt=rtt)
-            times[name] = min(times.get(name, float("inf")), t)
-    gemm_rate = gemm_flops_total / times["gemm"]
-    t_extract_dev = times["extract"]
-    t_match_dev = times["match"] * n_db
-    t_pnp_dev = times["pnp"]
-    t_refine_dev = times["refine"]
-    t_ba_dev = times["ba"]
-    t_ba_per_frame = t_ba_dev / n_cams
-    mfu = (
-        (extract_flops / ex_batch) / t_extract_dev / gemm_rate
-        if extract_flops and gemm_rate
-        else 0.0
+            shared["phase"] = f"measure:{name}:pass{p+1}"
+            try:
+                t = _timed_per_item(fn, fence, items, inner=inner, rtt=rtt)
+                times[name] = min(times.get(name, float("inf")), t)
+            except Exception as e:
+                errors[name] = f"{type(e).__name__}: {e}"
+            shared["result"] = _compose(shared)
+        shared["passes_completed"] = p + 1
+        shared["result"] = _compose(shared)
+        if p == 0:
+            # Full headline exists now; run the exactness check between
+            # passes (doubles as inter-pass spacing against turbulence).
+            if os.environ.get("BENCH_EXACT", "1") == "1":
+                shared["phase"] = "kernels_exact"
+                try:
+                    _kernel_exactness(shared, on_tpu)
+                except Exception as e:
+                    errors["kernels_exact"] = f"{type(e).__name__}: {e}"
+                shared["result"] = _compose(shared)
+
+    # --- honest end-to-end query benchmark (last: most wedge-prone) -----
+    if os.environ.get("BENCH_E2E", "1") == "1":
+        shared["phase"] = "e2e"
+        try:
+            _e2e_localize(shared, quick)
+        except Exception as e:
+            errors["e2e"] = f"{type(e).__name__}: {e}"
+            traceback.print_exc()
+        shared["result"] = _compose(shared)
+
+    shared["phase"] = "done"
+    return shared["result"]
+
+
+def _kernel_exactness(shared: dict, on_tpu: bool) -> None:
+    """Seconds-long on-device self-check: production Pallas kernels vs
+    their XLA references on the REAL backend (CI covers interpret-mode
+    on CPU only; this catches Mosaic-lowering regressions). Bit-exact is
+    the contract: the matcher kernels compute f32 similarities and the
+    epilogue compares maxima bit-exactly; the gather moves rows
+    untouched (it_loc/matcher.py:122-165 parity chain)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sfd2_tpu.ops.matching import mutual_nn_match, mutual_nn_ratio_match
+    from sfd2_tpu.ops.pallas_gather import gather_rows_pallas
+    from sfd2_tpu.ops.pallas_match import (
+        mutual_nn_match_pallas,
+        mutual_nn_ratio_match_pallas,
     )
 
-    # --- headline -------------------------------------------------------
-    frame_time = t_extract_dev + t_match_dev + t_pnp_dev + t_refine_dev + t_ba_per_frame
-    fps = 1.0 / frame_time
-    prev = _prev_bench_value()
-    return {
-        "metric": "localization_pipeline_frames_per_s_per_chip",
-        "value": round(fps, 3),
-        "unit": "frames/s (1024px extract@4096kp + 50-pair mutual-NN + "
-                "PnP-RANSAC + 5-iter LM refine + map-BA/50 frames; device "
-                "time, relay RTT subtracted)",
-        "vs_baseline": round(fps / prev, 3) if prev else 1.0,
-        "platform": platform,
-        "extract_ms": round(t_extract_dev * 1e3, 2),
-        "match50_ms": round(t_match_dev * 1e3, 2),
-        "pnp_ms": round(t_pnp_dev * 1e3, 2),
-        "refine_ms": round(t_refine_dev * 1e3, 2),
-        "ba_ms": round(t_ba_dev * 1e3, 2),
-        "ba_ms_per_frame": round(t_ba_per_frame * 1e3, 3),
-        "extract_gflops": round(extract_flops / ex_batch / 1e9, 1),
-        "measured_gemm_tflops": round(gemm_rate / 1e12, 1),
-        "mfu": round(mfu, 3),
-        "relay_rtt_ms": round(rtt * 1e3, 2),
-        "matcher": matcher_name,
-        "prev_round_fps": prev,
-    }
+    key = jax.random.PRNGKey(7)
+    b, k, c = 2, 512, 128
+
+    def unit(key, shape):
+        d = jax.random.normal(key, shape, jnp.float32)
+        return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    d0 = unit(jax.random.fold_in(key, 0), (b, k, c))
+    d1 = unit(jax.random.fold_in(key, 1), (b, k, c))
+    v0 = jax.random.uniform(jax.random.fold_in(key, 2), (b, k)) > 0.1
+    v1 = jax.random.uniform(jax.random.fold_in(key, 3), (b, k)) > 0.1
+
+    interp = not on_tpu  # CPU smoke runs use interpret mode
+    deltas = {}
+    m_p, s_p = mutual_nn_match_pallas(d0, d1, v0, v1, interpret=interp)
+    vm = jax.jit(jax.vmap(mutual_nn_match))
+    m_x, s_x = vm(d0, d1, v0, v1)
+    deltas["nnm_idx"] = int(np.sum(np.asarray(m_p) != np.asarray(m_x)))
+    deltas["nnm_score"] = float(np.max(np.abs(np.asarray(s_p) - np.asarray(s_x))))
+
+    r_p, rs_p = mutual_nn_ratio_match_pallas(d0, d1, 0.95, v0, v1,
+                                             interpret=interp)
+    vr = jax.jit(jax.vmap(lambda a, b, va, vb: mutual_nn_ratio_match(a, b, 0.95, va, vb)))
+    r_x, rs_x = vr(d0, d1, v0, v1)
+    deltas["nnr_idx"] = int(np.sum(np.asarray(r_p) != np.asarray(r_x)))
+    deltas["nnr_score"] = float(np.max(np.abs(np.asarray(rs_p) - np.asarray(rs_x))))
+
+    table = jax.random.normal(jax.random.fold_in(key, 4), (1000, 3), jnp.float32)
+    idx = jax.random.randint(jax.random.fold_in(key, 5), (333,), 0, 1000)
+    if on_tpu:
+        g_p = gather_rows_pallas(table, idx)
+    else:
+        g_p = gather_rows_pallas(table, idx, interpret=True)
+    g_x = jnp.take(table, idx, axis=0)
+    deltas["gather"] = float(np.max(np.abs(np.asarray(g_p) - np.asarray(g_x))))
+
+    shared["kernel_deltas"] = deltas
+    shared["kernels_exact"] = (
+        deltas["nnm_idx"] == 0 and deltas["nnm_score"] == 0.0
+        and deltas["nnr_idx"] == 0 and deltas["nnr_score"] == 0.0
+        and deltas["gather"] == 0.0
+    )
 
 
-_WATCHDOG_S = 480  # the relay TPU occasionally hangs inside a jax call
+def _e2e_localize(shared: dict, quick: bool) -> None:
+    """Wall-clock `LocalizationEngine.localize` over a synthetic corridor
+    map — host orchestration + transfers + device compute, nothing
+    subtracted. The honest per-query number next to the stage-min
+    composite (the reference's per-query loop, localize_cv2.py:652)."""
+    import tempfile
+
+    from sfd2_tpu.localization.engine import LocalizationEngine, LocalizerConfig
+    from sfd2_tpu.utils.synth import build_corridor_scene
+
+    n_img, n_q = (20, 4) if quick else (60, 12)
+    with tempfile.TemporaryDirectory() as td:
+        scene = build_corridor_scene(
+            os.path.join(td, "f.h5"), n_images=n_img, n_queries=n_q,
+            n_points=2000, kp_per_image=700, kp_per_query=500,
+            retrieval_k=10, seed=7,
+        )
+        cfg = LocalizerConfig(
+            ransac_thresh=8.0, opt_thresh=8.0, inlier_thresh=10,
+            covisibility_frame=10, iters=2, radius=12.0, obs_thresh=3,
+            max_keypoints=1024, num_hypotheses=512,
+        )
+        from sfd2_tpu.io.feature_store import FeatureStore
+
+        with FeatureStore(scene.feature_path, "r") as fs:
+            eng = LocalizationEngine(scene.map_index, fs, cfg)
+            per_q = []
+            n_acc = 0
+            for i, (qname, q_gt, t_gt, near) in enumerate(scene.queries):
+                t0 = time.perf_counter()
+                res = eng.localize(qname, scene.qinfo, [[j] for j in near])
+                dt = time.perf_counter() - t0
+                if i > 0:  # first query pays all jit compiles
+                    per_q.append(dt)
+                n_acc += res.source == "accepted"
+                shared["e2e_query_ms"] = round(float(np.median(per_q)) * 1e3, 1) if per_q else None
+        shared["e2e_query_ms"] = round(float(np.median(per_q)) * 1e3, 1)
+        shared["e2e_note"] = (
+            f"median wall-clock over {len(per_q)} queries ({n_img}-img map, "
+            f"{n_acc}/{len(scene.queries)} accepted; includes host orchestration"
+            " + relay RTT per dispatch; first-query compile excluded)"
+        )
 
 
 def main():
-    """Run the bench under a hard watchdog: the relay-backed TPU can hang
-    inside device calls (no exception to catch), so the workload runs in a
-    daemon thread and a timeout still yields the JSON line."""
-    import os
-    import threading
+    """Run the bench under a budgeted watchdog: the relay-backed TPU can
+    hang inside device calls (no exception to catch), so the workload
+    runs in a daemon thread that publishes per-stage results as they
+    land; on budget expiry the watchdog emits whatever was measured."""
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1680"))
+    shared: dict = {}
+    _append_attempt({"event": "start", "budget_s": budget,
+                     "argv": sys.argv[1:]})
 
-    result_box = {}
+    done = threading.Event()
 
     def work():
         try:
-            result_box["result"] = run_bench()
+            run_bench(shared)
         except Exception as e:  # never exit without the JSON line
-            result_box["result"] = {
-                "metric": "localization_pipeline_frames_per_s_per_chip",
-                "value": 0.0,
-                "unit": "frames/s (bench failed)",
-                "vs_baseline": 0.0,
-                "error": f"{type(e).__name__}: {e}",
-            }
+            shared.setdefault("stage_errors", {})["fatal"] = (
+                f"{type(e).__name__}: {e}")
             traceback.print_exc()
+        finally:
+            done.set()
 
     t = threading.Thread(target=work, daemon=True)
+    t0 = time.time()
     t.start()
-    t.join(_WATCHDOG_S)
-    result = result_box.get(
-        "result",
-        {
-            "metric": "localization_pipeline_frames_per_s_per_chip",
-            "value": 0.0,
-            "unit": "frames/s (bench timed out)",
+    last_phase = None
+    while time.time() - t0 < budget and not done.is_set():
+        done.wait(5.0)
+        phase = shared.get("phase")
+        if phase != last_phase:
+            print(f"[bench +{time.time()-t0:.0f}s] {phase}",
+                  file=sys.stderr, flush=True)
+            last_phase = phase
+
+    result = shared.get("result")
+    if result is None:
+        result = {
+            "metric": _METRIC, "value": 0.0,
+            "unit": "frames/s (bench produced nothing)",
             "vs_baseline": 0.0,
-            "error": f"watchdog timeout after {_WATCHDOG_S}s (TPU relay hang)",
-        },
-    )
+            "error": f"no stage completed within {budget:.0f}s "
+                     f"(TPU relay hang during {shared.get('phase')})",
+        }
+    elif not done.is_set():
+        result = dict(result)
+        result["error"] = (
+            f"watchdog budget {budget:.0f}s expired during "
+            f"{shared.get('phase')!r}; emitting stages measured so far")
+    _append_attempt({"event": "end", "elapsed_s": round(time.time() - t0, 1),
+                     "completed": done.is_set(),
+                     "phase": shared.get("phase"),
+                     "value": result.get("value"),
+                     "error": result.get("error")})
     print(json.dumps(result), flush=True)
     os._exit(0)
 

@@ -5,9 +5,25 @@ XLA lowers `table[idx]` to a scalar gather (~10 µs per 1k rows — the
 iteration costs 1.06 ms, dominating the whole solve). Mosaic's
 `tpu.dynamic_gather` is an in-register lane shuffle but only supports
 single-vreg (128-lane) tables, so this kernel walks the table in
-128-wide chunks per component: lane-local gather + chunk-select on the
-high index bits — pure vector ops (measured ~4× faster at C=3, and the
-win grows with index count).
+128-wide chunks per 128-index row group: lane-local gather + chunk
+select on the high index bits — pure vector ops.
+
+Scaling (round-3 redesign): the naive walk is O(N/128) chunks per row
+group — fine at N=8k (64 chunks, ~4× faster than XLA at C=3) but it
+loses to XLA's scalar gather on ~100k-row tables. Two mechanisms fix
+the big-N regime:
+
+* per-row-group CHUNK BOUNDS: the kernel receives each group's
+  [min, max] chunk (computed with two cheap XLA reductions) and walks
+  only that dynamic range (`lax.fori_loop`). For SORTED indices each
+  group of 128 consecutive indices spans ~⌈N/M⌉ chunks, so total work
+  drops from O(M/128 · N/128) to O(M/128 + N/128). `sfm/ba.py` sorts
+  its observations by point index once per solve precisely to hit this
+  path (order-invariant math — everything downstream is a segment_sum).
+* a STATIC crossover for unsorted indices: when the table exceeds
+  `_CROSSOVER_CHUNKS` chunks and the caller cannot promise sortedness,
+  `gather_rows` falls back to XLA's gather (the bounds give no static
+  guarantee there; worst case is the full walk).
 
 Used by `sfm/ba.py` (point/camera block gathers). CPU / non-TPU backends
 fall back to `jnp.take` — identical results.
@@ -22,21 +38,36 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Tables larger than this many 128-row chunks use XLA's gather unless the
+# caller promises sorted indices (worst-case walk would exceed the scalar
+# gather's ~10 µs/1k-rows). The naive walk measured ~4× faster than XLA
+# at 64 chunks (N=8192, C=3); the bounded walk keeps per-group cost flat
+# for sorted indices at any N. Re-measure with scripts/bench_ba_scale.py.
+_CROSSOVER_CHUNKS = 128
 
-def _make_kernel(c: int, n_chunks: int, r: int):
-    def kernel(lo_ref, hi_ref, table_ref, out_ref):
-        lo = lo_ref[...]
-        hi = hi_ref[...]
+
+def _make_kernel(c: int, r: int):
+    """Grid over row groups; per group, walk chunks [lo_b, hi_b]."""
+
+    def kernel(bounds_ref, lo_ref, hi_ref, table_ref, out_ref):
+        i = pl.program_id(0)
+        lo = lo_ref[...]  # [1, 128] lane-local index
+        hi = hi_ref[...]  # [1, 128] chunk id
+        c0 = bounds_ref[i, 0]
+        c1 = bounds_ref[i, 1]
         for ci in range(c):
-            acc = jnp.zeros((r, 128), jnp.float32)
-            for k in range(n_chunks):
-                chunk = table_ref[ci:ci + 1, k * 128:(k + 1) * 128]  # [1,128]
-                rep = jnp.broadcast_to(chunk, (r, 128))
+            def body(k, acc):
+                chunk = table_ref[ci, k, :].reshape(1, 128)
                 g = jnp.take_along_axis(
-                    rep, lo, axis=1, mode="promise_in_bounds"
+                    jnp.broadcast_to(chunk, (1, 128)), lo, axis=1,
+                    mode="promise_in_bounds",
                 )
-                acc = jnp.where(hi == k, g, acc)
-            out_ref[ci] = acc
+                return jnp.where(hi == k, g, acc)
+
+            acc = jax.lax.fori_loop(
+                c0, c1 + 1, body, jnp.zeros((1, 128), jnp.float32)
+            )
+            out_ref[ci, 0] = acc[0]
 
     return kernel
 
@@ -47,29 +78,52 @@ def gather_rows_pallas(
     idx: jax.Array,  # [M] int32, values in [0, N)
     interpret: bool = False,
 ) -> jax.Array:  # [M, C], dtype of table
-    """out[m] = table[idx[m]] via the two-level chunk gather."""
+    """out[m] = table[idx[m]] via the bounded two-level chunk gather."""
     n, c = table.shape
     (m,) = idx.shape
     mp = -(-m // 128) * 128  # pad index count to lane rows
     np_ = -(-n // 128) * 128  # pad table rows to whole chunks
+    n_chunks = np_ // 128
     idx_p = jnp.zeros((mp,), jnp.int32).at[:m].set(idx.astype(jnp.int32))
     table_t = jnp.zeros((c, np_), jnp.float32).at[:, :n].set(
         table.astype(jnp.float32).T
-    )
+    ).reshape(c, n_chunks, 128)
     r = mp // 128
     lo = (idx_p & 127).reshape(r, 128)
     hi = jax.lax.shift_right_logical(idx_p, 7).reshape(r, 128)
+    bounds = jnp.stack(
+        [jnp.min(hi, axis=1), jnp.max(hi, axis=1)], axis=1
+    )  # [r, 2] per-group chunk range (tight for sorted indices)
     out = pl.pallas_call(
-        _make_kernel(c, np_ // 128, r),
+        _make_kernel(c, r),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(r,),
+            in_specs=[
+                pl.BlockSpec((1, 128), lambda i, b: (i, 0)),
+                pl.BlockSpec((1, 128), lambda i, b: (i, 0)),
+                pl.BlockSpec((c, n_chunks, 128), lambda i, b: (0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((c, 1, 128), lambda i, b: (0, i, 0)),
+        ),
         out_shape=jax.ShapeDtypeStruct((c, r, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 << 20),
         interpret=interpret,
-    )(lo, hi, table_t)
+    )(bounds, lo, hi, table_t)
     return out.reshape(c, mp).T[:m].astype(table.dtype)
 
 
-def gather_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
-    """Backend-dispatching row gather (TPU → Pallas kernel, else XLA)."""
+def gather_rows(
+    table: jax.Array, idx: jax.Array, idx_sorted: bool = False
+) -> jax.Array:
+    """Backend-dispatching row gather (TPU → Pallas kernel, else XLA).
+
+    `idx_sorted=True` promises non-decreasing indices, which makes the
+    kernel's bounded chunk walk O(M/128 + N/128) — always profitable.
+    Without the promise, tables wider than `_CROSSOVER_CHUNKS` chunks
+    fall back to XLA's scalar gather (documented crossover)."""
     if jax.default_backend() == "tpu" and table.ndim == 2:
-        return gather_rows_pallas(table, idx)
+        n_chunks = -(-table.shape[0] // 128)
+        if idx_sorted or n_chunks <= _CROSSOVER_CHUNKS:
+            return gather_rows_pallas(table, idx)
     return jnp.take(table, idx, axis=0)

@@ -142,10 +142,17 @@ def bundle_adjust(
 ) -> BAResult:
     """Run LM with Schur-complement PCG steps. Returns updated poses,
     points and costs. All shapes static; jit-compiled once per size."""
-    obs_xy = problem.obs_xy
-    obs_cam = problem.obs_cam
-    obs_point = problem.obs_point
-    base_w = problem.obs_w
+    # Sort observations by point index once per solve: every downstream
+    # consumer is order-invariant (segment_sum / global sums), and sorted
+    # point indices make the Pallas row gathers' bounded chunk walk
+    # O(M/128 + P/128) instead of O(M/128 · P/128) — the point table is
+    # the one that grows with map size (camera tables stay tiny, their
+    # unsorted walk is a few chunks). See ops/pallas_gather.py.
+    order = jnp.argsort(problem.obs_point)
+    obs_xy = problem.obs_xy[order]
+    obs_cam = problem.obs_cam[order]
+    obs_point = problem.obs_point[order]
+    base_w = problem.obs_w[order]
     cam_params_all = problem.cam_params
     n_cam = problem.qvecs.shape[0]
     n_pt = problem.points.shape[0]
@@ -161,7 +168,7 @@ def bundle_adjust(
         (XLA's scalar gather on [O]←[P] costs ~1 ms per pass here)."""
         rot_o = gather_rows(rot0.reshape(n_cam, 9), obs_cam).reshape(-1, 3, 3)
         t_o = gather_rows(tvecs, obs_cam)
-        p_o = gather_rows(points, obs_point)
+        p_o = gather_rows(points, obs_point, idx_sorted=True)
         cp_o = gather_rows(cam_params_all, obs_cam)
         return rot_o, t_o, p_o, cp_o
 
@@ -207,13 +214,15 @@ def bundle_adjust(
             jnp.einsum("oij,oik->ojk", jc * wj, jc), obs_cam, n_cam
         )  # [C,6,6]
         hpp = jax.ops.segment_sum(
-            jnp.einsum("oij,oik->ojk", jp * wj, jp), obs_point, n_pt
+            jnp.einsum("oij,oik->ojk", jp * wj, jp), obs_point, n_pt,
+            indices_are_sorted=True
         )  # [P,3,3]
         bc = jax.ops.segment_sum(
             jnp.einsum("oij,oi->oj", jc, r * w[:, None]), obs_cam, n_cam
         )  # [C,6]
         bp = jax.ops.segment_sum(
-            jnp.einsum("oij,oi->oj", jp, r * w[:, None]), obs_point, n_pt
+            jnp.einsum("oij,oi->oj", jp, r * w[:, None]), obs_point, n_pt,
+            indices_are_sorted=True
         )  # [P,3]
 
         eye6 = jnp.eye(6)
@@ -232,7 +241,7 @@ def bundle_adjust(
 
         def hcp_apply(vp):  # [P,3] → [C,6]: Σ_o w Jcᵀ Jp v_p(o)
             contrib = jnp.einsum(
-                "oij,oik,ok->oj", jc * wj, jp, gather_rows(vp, obs_point)
+                "oij,oik,ok->oj", jc * wj, jp, gather_rows(vp, obs_point, idx_sorted=True)
             )
             return jax.ops.segment_sum(contrib, obs_cam, n_cam)
 
@@ -240,7 +249,8 @@ def bundle_adjust(
             contrib = jnp.einsum(
                 "oik,oij,oj->ok", jp * wj, jc, gather_rows(vc, obs_cam)
             )
-            return jax.ops.segment_sum(contrib, obs_point, n_pt)
+            return jax.ops.segment_sum(contrib, obs_point, n_pt,
+                                       indices_are_sorted=True)
 
         rhs = bc - hcp_apply(hpp_inv_bp)  # [C,6]
 

@@ -170,3 +170,150 @@ def test_gather_rows_pallas_matches_take(rng):
     out = gather_rows_pallas(jnp.asarray(table), jnp.asarray(idx),
                              interpret=True)
     np.testing.assert_allclose(np.asarray(out), table[idx], rtol=0, atol=0)
+
+
+def test_gather_rows_pallas_sorted_bounds(rng):
+    """Bounded chunk walk with sorted indices on a big (many-chunk) table
+    == jnp.take; also exercises the unsorted full-range path at scale."""
+    import jax.numpy as jnp
+    from sfd2_tpu.ops.pallas_gather import gather_rows_pallas
+
+    table = rng.normal(size=(100_000, 3)).astype(np.float32)
+    idx = rng.integers(0, 100_000, size=4096).astype(np.int32)
+    for ix in (np.sort(idx), idx):
+        out = gather_rows_pallas(jnp.asarray(table), jnp.asarray(ix),
+                                 interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), table[ix])
+
+
+def build_big_problem(rng, n_cams=300, n_pts=100_000, obs_per_cam=1500,
+                      perturb_pts=0.05):
+    """Vectorised builder at COLMAP-mapper scale (point_triangulator on a
+    full Aachen submodel: ~1k images, ~100k+ points —
+    hloc/triangulation.py:129-147 workload)."""
+    span = n_cams * 0.2
+    pts = np.stack([
+        rng.uniform(-2, span + 2, n_pts),
+        rng.uniform(-4, 4, n_pts),
+        rng.uniform(10, 20, n_pts),
+    ], 1)
+    obs_xy, obs_cam, obs_pt = [], [], []
+    qs, ts = [], []
+    for ci in range(n_cams):
+        r = Rotation.from_rotvec(rng.normal(size=3) * 0.02)
+        q = r.as_quat()[[3, 0, 1, 2]]
+        t = -r.as_matrix() @ np.array([ci * 0.2, 0, 0])
+        qs.append(q)
+        ts.append(t)
+        # Points plausibly in front of this camera: a window of the
+        # corridor around the camera's x position.
+        cand = np.nonzero(np.abs(pts[:, 0] - ci * 0.2) < 8)[0]
+        sel = rng.choice(cand, min(obs_per_cam, len(cand)), replace=False)
+        xy, d = _np_project(pts[sel], q, t, CAM8)
+        ok = (d > 0) & (np.abs(xy[:, 0] - 320) < 320) & (np.abs(xy[:, 1] - 240) < 240)
+        obs_xy.append(xy[ok] + rng.normal(size=(ok.sum(), 2)) * 0.3)
+        obs_cam.append(np.full(ok.sum(), ci, np.int32))
+        obs_pt.append(sel[ok].astype(np.int32))
+    obs_xy = np.concatenate(obs_xy).astype(np.float32)
+    obs_cam = np.concatenate(obs_cam)
+    obs_pt = np.concatenate(obs_pt)
+    fixed = np.zeros(n_cams, bool)
+    fixed[:2] = True
+    problem = BAProblem(
+        obs_xy=jnp.asarray(obs_xy),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_point=jnp.asarray(obs_pt),
+        obs_w=jnp.ones(len(obs_xy), jnp.float32),
+        qvecs=jnp.asarray(np.array(qs, np.float32)),
+        tvecs=jnp.asarray(np.array(ts, np.float32)),
+        cam_params=jnp.asarray(np.broadcast_to(CAM8, (n_cams, 8))),
+        points=jnp.asarray(
+            (pts + rng.normal(size=pts.shape) * perturb_pts).astype(np.float32)),
+        fixed_cams=jnp.asarray(fixed),
+    )
+    return problem, pts
+
+
+@pytest.mark.slow
+def test_ba_realistic_map_scale(rng):
+    """P=100k points, C=300 cameras, ~400k observations: the regime where
+    the naive pallas chunk walk would fall off a cliff (VERDICT r2 #5).
+    Verifies the sorted-obs bounded gather path stays correct and the
+    solve converges at scale."""
+    problem, pts_gt = build_big_problem(rng)
+    assert problem.obs_xy.shape[0] > 300_000
+    res = bundle_adjust(problem, lm_iters=3, cg_iters=6)
+    assert np.isfinite(float(res.final_cost))
+    assert float(res.final_cost) < float(res.initial_cost) * 0.5
+    d = np.linalg.norm(np.asarray(res.points) - pts_gt, axis=1)
+    assert np.median(d) < np.median(
+        np.linalg.norm(np.asarray(problem.points) - pts_gt, axis=1))
+
+
+def test_ba_ill_conditioned_planar_collinear_outliers(rng):
+    """Night-time regime (SURVEY §7.4(5)): planar scene + collinear
+    cameras (rank-deficient directions) + 40% gross outliers. The damped
+    solver must stay finite, reduce the Huber cost, and improve the
+    INLIER reprojection error — clamps in the lanes Cholesky/inverse
+    must not poison the solve."""
+    n_pts, n_cams = 400, 8
+    # Planar: all points on z=12 (Hpp blocks near-singular along z).
+    pts = np.stack([
+        rng.uniform(-4, 10, n_pts), rng.uniform(-3, 3, n_pts),
+        np.full(n_pts, 12.0),
+    ], 1)
+    qs, ts = [], []
+    obs_xy, obs_cam, obs_pt = [], [], []
+    for ci in range(n_cams):
+        # Collinear, identical orientation: no baseline in y/z.
+        q = np.array([1.0, 0, 0, 0])
+        t = np.array([-(ci * 0.7), 0.0, 0.0])
+        qs.append(q)
+        ts.append(t)
+        xy, d = _np_project(pts, q, t, CAM8)
+        ok = (d > 0) & (np.abs(xy[:, 0] - 320) < 318) & (np.abs(xy[:, 1] - 240) < 238)
+        for pi in np.nonzero(ok)[0]:
+            obs_xy.append(xy[pi] + rng.normal(size=2) * 0.3)
+            obs_cam.append(ci)
+            obs_pt.append(pi)
+    obs_xy = np.array(obs_xy, np.float32)
+    obs_cam = np.array(obs_cam, np.int32)
+    obs_pt = np.array(obs_pt, np.int32)
+    n_out = int(0.4 * len(obs_xy))
+    out_idx = rng.choice(len(obs_xy), n_out, replace=False)
+    obs_xy[out_idx] += rng.uniform(40, 200, size=(n_out, 2)) * rng.choice(
+        [-1, 1], size=(n_out, 2))
+    inlier = np.ones(len(obs_xy), bool)
+    inlier[out_idx] = False
+
+    q_init = np.array(qs, np.float32)
+    t_init = np.array(ts, np.float32)
+    t_init[2:] += rng.normal(size=(n_cams - 2, 3)).astype(np.float32) * 0.03
+    p_init = (pts + rng.normal(size=pts.shape) * 0.05).astype(np.float32)
+    fixed = np.zeros(n_cams, bool)
+    fixed[:2] = True
+    problem = BAProblem(
+        obs_xy=jnp.asarray(obs_xy), obs_cam=jnp.asarray(obs_cam),
+        obs_point=jnp.asarray(obs_pt), obs_w=jnp.ones(len(obs_xy), jnp.float32),
+        qvecs=jnp.asarray(q_init), tvecs=jnp.asarray(t_init),
+        cam_params=jnp.asarray(np.broadcast_to(CAM8, (n_cams, 8))),
+        points=jnp.asarray(p_init), fixed_cams=jnp.asarray(fixed),
+    )
+
+    def inlier_med_err(qv, tv, ptres):
+        errs = []
+        for ci in range(n_cams):
+            m = (obs_cam == ci) & inlier
+            xy, _ = _np_project(ptres[obs_pt[m]], qv[ci], tv[ci], CAM8)
+            errs.append(np.linalg.norm(obs_xy[m] - xy, axis=1))
+        return float(np.median(np.concatenate(errs)))
+
+    before = inlier_med_err(q_init, t_init, p_init)
+    res = bundle_adjust(problem, lm_iters=8, cg_iters=10, huber_delta=2.0)
+    assert np.isfinite(float(res.final_cost))
+    assert np.all(np.isfinite(np.asarray(res.points)))
+    assert np.all(np.isfinite(np.asarray(res.qvecs)))
+    assert float(res.final_cost) < float(res.initial_cost)
+    after = inlier_med_err(
+        np.asarray(res.qvecs), np.asarray(res.tvecs), np.asarray(res.points))
+    assert after < before, (before, after)
