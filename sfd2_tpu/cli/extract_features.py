@@ -47,14 +47,32 @@ def main(argv=None):
     parser.add_argument("--extractor", default="sfd2",
                         help="baseline extractor name (hloc extract_features "
                              "parity): sfd2|superpoint|r2d2|sift|d2net|caps|sgd2")
+    parser.add_argument("--bf16", choices=["auto", "on", "off"], default="auto",
+                        help="trunk numerics: auto = bfloat16 on TPU. Use "
+                             "'off' for recall-parity / validation runs "
+                             "(bit-comparable to the f32 reference)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+    if args.extractor == "dir":
+        parser.error(
+            "'dir' is a GLOBAL retrieval extractor (one vector per image); "
+            "this CLI writes per-keypoint stores — use "
+            "python -m sfd2_tpu.cli.extract_global instead"
+        )
+    if args.mask_dir is not None and args.extractor != "sfd2":
+        parser.error(
+            "--mask_dir (semantic labeled-first extraction) is only "
+            "supported by the sfd2 extractor; baseline extractors have no "
+            "label chain (nets/extractor.py:240-326)"
+        )
     cfg = EXTRACTION_CONFS[args.conf]
-    if args.as_half:
-        import dataclasses
+    import dataclasses
 
+    if args.as_half:
         cfg = dataclasses.replace(cfg, as_half=True)
+    if args.bf16 != "auto":
+        cfg = dataclasses.replace(cfg, bf16=args.bf16 == "on")
     model = ResSegNetV2(require_stability=True)
     if args.weights and str(args.weights).endswith(".pth"):
         variables = convert_checkpoint(str(args.weights))

@@ -57,9 +57,13 @@ def main(argv=None):
     args.out_dir.mkdir(parents=True, exist_ok=True)
     images = list_images(args.image_dir)
     for p in images:
-        out = args.out_dir / (p.stem + ".png")
+        # Mirror the relative path under out_dir: bare stems collide
+        # across subdirectories (db/1000.jpg vs sequences/1000.jpg in
+        # Aachen layouts) and would silently skip the second image.
+        out = args.out_dir / p.relative_to(args.image_dir).with_suffix(".png")
         if out.exists():
             continue
+        out.parent.mkdir(parents=True, exist_ok=True)
         bgr = cv2.imread(str(p))
         if bgr is None:
             logging.warning("unreadable image %s", p)

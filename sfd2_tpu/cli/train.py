@@ -21,7 +21,7 @@ from sfd2_tpu.training.data import (
     SyntheticPairBuilder,
 )
 from sfd2_tpu.training.losses import SegLossConfig
-from sfd2_tpu.training.sampler import NghSampler2DS
+from sfd2_tpu.training.sampler import make_sampler
 from sfd2_tpu.training.train_step import TrainConfig
 from sfd2_tpu.training.trainer import Trainer, TrainerConfig
 from sfd2_tpu.utils.config import apply_json_overlay, save_args
@@ -52,6 +52,12 @@ def main(argv=None):
     parser.add_argument("--weight_decay", type=float, default=5e-4)
     parser.add_argument("--det_weight", type=float, default=1.0)
     parser.add_argument("--score_th", type=float, default=0.001)
+    parser.add_argument("--det_loss", default="ce",
+                        help="ce|l1|bce|sce ('cel' raises a config-time "
+                             "error pointing at the README deviation)")
+    parser.add_argument("--sampler", default="ngh2ds",
+                        help="ngh2ds|ngh2|full|sub|ngh|farnear "
+                             "(nets/sampler.py family)")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--workers", type=int, default=4)
     parser.add_argument("--segmentor_ckpt", type=Path, default=None,
@@ -111,8 +117,8 @@ def main(argv=None):
             weight_decay=args.weight_decay,
             det_weight=args.det_weight,
             score_th=args.score_th,
-            loss=SegLossConfig(),
-            sampler=NghSampler2DS(),
+            loss=SegLossConfig(det_loss=args.det_loss),
+            sampler=make_sampler(args.sampler),
         ),
     )
     trainer = Trainer(loader, cfg)

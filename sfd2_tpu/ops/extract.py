@@ -65,9 +65,11 @@ def _top_k_nms_cells(masked: jax.Array, k: int, h: int, w: int):
     gather); stage 2 runs top_k on the 16×-smaller cell grid and
     recovers in-cell offsets by a 16-wide *slice* gather of the winning
     cell rows (contiguous, fast on TPU) + argmax. Measured v5e @1024²,
-    K=4096: 0.92 → 0.35 ms/img vs the flat 1M-element top_k; results
-    are identical up to the order of exactly-tied scores (flat top_k
-    breaks ties by flat index, this path by (cell, offset) index).
+    K=4096: 0.92 → 0.35 ms/img vs the flat 1M-element top_k. Tie caveat:
+    an EXACT score tie between two NMS survivors inside one 4×4 cell
+    keeps only one of them (cell-max holds a single entry) where flat
+    top_k would keep both — measure-zero for continuous scores, and NMS
+    already makes equal neighbours non-survivors.
     """
     b = masked.shape[0]
     ch, cw = h // 4, w // 4

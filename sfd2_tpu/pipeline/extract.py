@@ -42,7 +42,10 @@ class ExtractionConfig:
     nms_radius: int = 4
     border: int = 4
     resize_max: int = 1600
-    scales: Tuple[float, ...] = (1.0,)
+    # Scale pyramid: a fixed tuple, or "auto" for the reference's
+    # ×1/1.2-until-min-edge<256 pyramid (``extract.py:87-200``,
+    # extrat_spp_feats_multiscale) with per-image depth.
+    scales: Tuple[float, ...] | str = (1.0,)
     pad_multiple: int = 64  # static-shape bucketing granularity
     batch_size: int = 4
     bf16: bool | None = None  # run the conv stack in bfloat16. None = auto:
@@ -67,7 +70,32 @@ EXTRACTION_CONFS: Dict[str, ExtractionConfig] = {
     "sfd2-n4096-r1600-ms": ExtractionConfig(
         max_keypoints=4096, resize_max=1600, scales=(1.0, 0.8333, 0.6944)
     ),
+    "sfd2-n4096-r1600-msauto": ExtractionConfig(
+        max_keypoints=4096, resize_max=1600, scales="auto"
+    ),
 }
+
+
+_AUTO_SCALE_STEP = 1.2
+_AUTO_MIN_EDGE = 256
+
+
+def auto_scales(min_edges: Sequence[int]):
+    """Per-image ×1/1.2 pyramid depths (``extract.py:87-200``: scale /= 1.2
+    while the scaled min edge stays ≥ 256; scale 1.0 always included).
+
+    Returns (scales tuple covering the deepest image, active[k][i] bool —
+    whether image i participates at scale step k)."""
+    depths = []
+    for e in min_edges:
+        d = 1
+        while e / _AUTO_SCALE_STEP**d >= _AUTO_MIN_EDGE:
+            d += 1
+        depths.append(d)
+    n = max(depths)
+    scales = tuple(1.0 / _AUTO_SCALE_STEP**k for k in range(n))
+    active = [[k < d for d in depths] for k in range(n)]
+    return scales, active
 
 
 def load_image(path, resize_max: int | None):
@@ -135,6 +163,16 @@ class Extractor:
             config = dataclasses.replace(
                 config, bf16=jax.default_backend() == "tpu"
             )
+        # The resolved numerics choice silently changes score ranking on
+        # near-ties vs the f32 reference — always make it visible, so a
+        # recall-parity run that forgot bf16=False is diagnosable.
+        import logging
+
+        logging.getLogger(__name__).info(
+            "Extractor: trunk dtype %s (bf16=%s, backend=%s)",
+            "bfloat16" if config.bf16 else "float32", config.bf16,
+            jax.default_backend(),
+        )
         if config.bf16:
             model = model or ResSegNetV2(require_stability=True, dtype=jnp.bfloat16)
             if model.dtype != jnp.bfloat16:
@@ -215,7 +253,14 @@ class Extractor:
         all_feats: List[Dict[str, np.ndarray]] = [
             {"kp": [], "desc": [], "score": [], "label": []} for _ in images
         ]
-        for s in cfg.scales:
+        if cfg.scales == "auto":
+            scales, active = auto_scales(
+                [min(im.shape[0], im.shape[1]) for im in images]
+            )
+        else:
+            scales = cfg.scales
+            active = [[True] * len(images)] * len(scales)
+        for s, act in zip(scales, active):
             scaled = [
                 im
                 if s == 1.0
@@ -256,6 +301,8 @@ class Extractor:
             valid = np.asarray(kp.valid)
             labels = np.asarray(kp.labels) if kp.labels is not None else None
             for i, im in enumerate(images):
+                if not act[i]:  # below this image's auto-pyramid depth
+                    continue
                 sh, sw = scaled[i].shape[:2]
                 v = valid[i] & (xy[i, :, 0] < sw) & (xy[i, :, 1] < sh)
                 pts = xy[i][v]

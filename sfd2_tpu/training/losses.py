@@ -74,7 +74,7 @@ def reliability_loss(
 
 @dataclasses.dataclass(frozen=True)
 class SegLossConfig:
-    det_loss: str = "ce"  # ce | l1 | bce
+    det_loss: str = "ce"  # ce | l1 | bce | sce
     # Descriptor-loss family (reference --loss knob, train.py:80,195):
     # wapv2 = ReliabilityLoss over the sampler (shipped config),
     # tripletv1/v2/v3 = nets/reliability_loss.py:132/514/369.
@@ -94,6 +94,26 @@ class SegLossConfig:
     w_seg_det: float = 1.0
     w_seg_desc: float = 1.0
     w_seg_feat: float = 0.5
+
+    def __post_init__(self):
+        if self.det_loss == "cel":
+            # Config-time error, not a silent fallback: the reference's
+            # 'cel' variant (nets/losses.py:326-330) consumes raw detector
+            # LOGITS, which the shipped ResSegNet forward never exposes —
+            # a deliberate deviation documented in README.md
+            # ("deviations"). Everything trainable with the shipped model
+            # is covered by ce/l1/bce/sce.
+            raise ValueError(
+                "det_loss='cel' is intentionally unsupported: it needs "
+                "detector logits the shipped SFD2 model never outputs "
+                "(see README.md deviations). Use 'ce' (default), 'l1', "
+                "'bce' or 'sce'."
+            )
+        if self.det_loss not in ("ce", "l1", "bce", "sce"):
+            raise ValueError(
+                f"unknown det_loss {self.det_loss!r}; "
+                "choose from ce|l1|bce|sce"
+            )
 
 
 class SegLossInputs(NamedTuple):

@@ -313,6 +313,36 @@ class SubSampler:
         return SampledScores(scores, gt, mask, qconf, jnp.ones_like(scores))
 
 
+@dataclasses.dataclass(frozen=True)
+class FullSampler(SubSampler):
+    """``FullSampler`` (``nets/sampler.py:28-81``): the dense limit of the
+    grid scheme — EVERY pixel of img1 is a query against every
+    flow-warped pixel of img2 (unit stride, no border). The dense warp
+    itself is `warp_to_img1`; this wrapper makes it a named, selectable
+    sampler (TrainConfig / --sampler full). Quadratic in pixels — use
+    small crops."""
+
+    border: int = 0
+    subq: int = 1
+    subd: int = 1
+
+
+def make_sampler(name: str, **kwargs):
+    """Sampler registry for config/CLI selection (reference constructs
+    samplers via its eval() DSL, ``train.py:195``; here: typed names)."""
+    table = {
+        "ngh2ds": NghSampler2DS,
+        "ngh2": NghSampler2,
+        "full": FullSampler,
+        "sub": SubSampler,
+        "ngh": NghSampler,
+        "farnear": FarNearSampler,
+    }
+    if name not in table:
+        raise ValueError(f"unknown sampler {name!r}; choose from {sorted(table)}")
+    return table[name](**kwargs)
+
+
 def _ring_offsets(ngh: int, subd: int, ignore: int):
     """Offsets with ignore² < i²+j² ≤ ngh² (``nets/sampler.py:185-195``)."""
     rad = (ngh // subd) * ngh

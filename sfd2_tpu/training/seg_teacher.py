@@ -81,7 +81,9 @@ class SegTeacher:
 class LabelDirTeacher:
     """Offline-label fallback: per-image PNG label maps precomputed by
     ``cli/segment_images.py`` are cropped alongside the pair — kept for
-    datasets where the teacher ran ahead of time. Looks up by image name;
+    datasets where the teacher ran ahead of time. Looks up by the image's
+    RELATIVE path mirrored under label_dir (bare stems collide across
+    subdirectories), falling back to the legacy flat stem layout;
     missing maps yield zeros (= unlabeled, seg losses mask them)."""
 
     def __init__(self, label_dir: str | Path):
@@ -90,7 +92,9 @@ class LabelDirTeacher:
     def label_image(self, name: str, hw: tuple[int, int]) -> np.ndarray:
         import cv2
 
-        p = self.label_dir / (Path(name).stem + ".png")
+        p = self.label_dir / Path(name).with_suffix(".png")
+        if not p.exists():  # legacy flat layout
+            p = self.label_dir / (Path(name).stem + ".png")
         if not p.exists():
             return np.zeros(hw, np.int32)
         lab = cv2.imread(str(p), cv2.IMREAD_UNCHANGED)

@@ -144,3 +144,33 @@ def test_cli_extract_features(tmp_path, rng):
         assert len(names) == 2
         f = fs.read(names[0])
         assert f.descriptors.shape[1] == 128
+
+
+def test_cli_extract_features_rejects_bad_combos(tmp_path):
+    """ADVICE r2: 'dir' (global retrieval) must be rejected with a pointer
+    to extract_global, and --mask_dir with a non-sfd2 extractor must fail
+    loudly instead of being silently ignored."""
+    args = ["--image_dir", str(tmp_path), "--export_fn",
+            str(tmp_path / "f.h5")]
+    with pytest.raises(SystemExit):
+        cli_extract.main(args + ["--extractor", "dir"])
+    with pytest.raises(SystemExit):
+        cli_extract.main(args + ["--extractor", "superpoint",
+                                 "--mask_dir", str(tmp_path)])
+
+
+def test_cli_train_sampler_and_det_loss_flags(tmp_path):
+    """--sampler registry + config-time 'cel' rejection reach argparse."""
+    import cv2
+
+    from sfd2_tpu.cli import train as cli_train
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    cv2.imwrite(str(d / "a.png"), np.zeros((64, 64, 3), np.uint8))
+    with pytest.raises(ValueError, match="cel"):
+        cli_train.main([
+            "--image_dirs", str(d), "--det_loss", "cel",
+            "--epochs", "0", "--iters_per_epoch", "1", "--workers", "0",
+            "--save_dir", str(tmp_path / "runs"),
+        ])

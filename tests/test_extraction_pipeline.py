@@ -139,3 +139,55 @@ def test_bf16_trunk_keypoints_close_to_f32():
     b = {tuple(np.round(p, 0)) for p in bf_feats.keypoints}
     overlap = len(a & b) / max(1, min(len(a), len(b)))
     assert overlap > 0.7, overlap
+
+
+def test_auto_scales_pyramid():
+    """×1/1.2-until-min-edge<256 pyramid (extract.py:87-200), per-image
+    depth on a ragged batch."""
+    from sfd2_tpu.pipeline.extract import auto_scales
+
+    scales, active = auto_scales([1024, 300, 255])
+    # 1024/1.2^k >= 256 up to k=7 (1024/1.2^7 = 286.0, /1.2^8 = 238.4).
+    assert len(scales) == 8
+    assert scales[0] == 1.0
+    np.testing.assert_allclose(scales[1], 1 / 1.2)
+    # 300 -> depth 1 (300/1.2 = 250 < 256); 255 -> depth 1.
+    assert [a for a in active[0]] == [True, True, True]
+    assert [a for a in active[1]] == [True, False, False]
+    assert all(not a for a in active[7][1:])
+
+
+def test_multiscale_auto_non_square(small_extractor, rng):
+    """scales='auto' on a non-square image: keypoints from every pyramid
+    level land inside the ORIGINAL resolution, and deeper levels add
+    keypoints relative to single-scale."""
+    from sfd2_tpu.pipeline.extract import auto_scales
+
+    cfg = ExtractionConfig(
+        max_keypoints=512, conf_threshold=1e-6, resize_max=None,
+        pad_multiple=32, scales="auto",
+    )
+    # Patch the auto threshold down so a small test image yields >1 level.
+    import sfd2_tpu.pipeline.extract as pe
+
+    old = pe._AUTO_MIN_EDGE
+    pe._AUTO_MIN_EDGE = 48
+    try:
+        scales, active = auto_scales([96])
+        assert len(scales) >= 2
+        img = rng.random((96, 160, 3)).astype(np.float32)
+        ex = Extractor(small_extractor.variables, cfg,
+                       model=small_extractor.model)
+        feats = ex.extract_batch([img])[0]
+        single = Extractor(
+            small_extractor.variables,
+            ExtractionConfig(max_keypoints=512, conf_threshold=1e-6,
+                             resize_max=None, pad_multiple=32),
+            model=small_extractor.model,
+        ).extract_batch([img])[0]
+        assert len(feats.keypoints) > 0
+        assert np.all(feats.keypoints[:, 0] < img.shape[1])
+        assert np.all(feats.keypoints[:, 1] < img.shape[0])
+        assert len(feats.keypoints) >= len(single.keypoints)
+    finally:
+        pe._AUTO_MIN_EDGE = old

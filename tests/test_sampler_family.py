@@ -225,3 +225,42 @@ def test_seg_loss_desc_variants_finite(rng):
         assert np.isfinite(float(out["unsup_desc_loss"])), dl
     with pytest.raises(ValueError):
         seg_loss(KEY, inp, smp, SegLossConfig(desc_loss="nope"))
+
+
+def test_full_sampler_named_and_dense(rng):
+    """FullSampler (nets/sampler.py:28-81) as a selectable class: dense
+    unit-stride grid == SubSampler with border=0, subq=subd=1."""
+    import jax
+    import jax.numpy as jnp
+    from sfd2_tpu.training.sampler import FullSampler, SubSampler, make_sampler
+
+    b, h, w, d = 1, 8, 8, 16
+    f1 = jnp.asarray(rng.normal(size=(b, h, w, d)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(size=(b, h, w, d)).astype(np.float32))
+    ys, xs = np.mgrid[0:h, 0:w]
+    aflow = jnp.asarray(np.stack([xs, ys], -1).astype(np.float32)[None])
+    key = jax.random.PRNGKey(0)
+    s_full = FullSampler()(key, f1, f2, None, None, aflow)
+    assert s_full.scores.shape == (h * w, h * w)  # every pixel is a query
+    s_sub = SubSampler(border=0, subq=1, subd=1)(key, f1, f2, None, None, aflow)
+    np.testing.assert_array_equal(np.asarray(s_full.scores), np.asarray(s_sub.scores))
+    # Identity flow -> GT is the identity assignment.
+    np.testing.assert_array_equal(
+        np.asarray(s_full.gt), np.eye(h * w, dtype=np.float32))
+
+
+def test_make_sampler_registry():
+    from sfd2_tpu.training.sampler import (
+        FarNearSampler, FullSampler, NghSampler, NghSampler2, NghSampler2DS,
+        SubSampler, make_sampler,
+    )
+    import pytest
+
+    assert isinstance(make_sampler("ngh2ds"), NghSampler2DS)
+    assert isinstance(make_sampler("ngh2"), NghSampler2)
+    assert isinstance(make_sampler("full"), FullSampler)
+    assert isinstance(make_sampler("sub", subq=4), SubSampler)
+    assert isinstance(make_sampler("ngh"), NghSampler)
+    assert isinstance(make_sampler("farnear"), FarNearSampler)
+    with pytest.raises(ValueError, match="unknown sampler"):
+        make_sampler("nope")

@@ -201,3 +201,16 @@ def test_seg_loss_gradients_flow(rng):
     g = jax.grad(f)(inp.desc)
     assert np.isfinite(np.array(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_cel_det_loss_rejected_at_config_time():
+    """'cel' consumes logits the shipped model never exposes; the config
+    must fail loudly with a pointer to the README deviation
+    (nets/losses.py:326-330)."""
+    import pytest
+    from sfd2_tpu.training.losses import SegLossConfig
+
+    with pytest.raises(ValueError, match="cel"):
+        SegLossConfig(det_loss="cel")
+    with pytest.raises(ValueError, match="unknown det_loss"):
+        SegLossConfig(det_loss="bogus")
