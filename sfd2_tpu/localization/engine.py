@@ -324,24 +324,32 @@ class LocalizationEngine:
         qvec, tvec = q_new, t_new
 
         if "ref" in cfg.opt_type and inliers_rsac.sum() >= 10:
-            from sfd2_tpu.localization.pnp import refine_pose_lm
+            # Fused iterative re-select + LM (ONE jitted dispatch for all
+            # cfg.iters rounds instead of a host↔device ping-pong per
+            # round — each round-trip costs a full relay RTT).
+            from sfd2_tpu.localization.pnp import refine_pose_iterative
 
-            for it in range(cfg.iters):
-                proj, _ = _np_project(mp3d, qvec, tvec, cam8)
-                err = np.linalg.norm(mkpq - proj, axis=1)
-                mask = (err <= cfg.opt_thresh) & inliers_rsac
-                if mask.sum() < 6:
-                    break
-                q_r, t_r = refine_pose_lm(
-                    jnp.asarray(qvec, jnp.float32), jnp.asarray(tvec, jnp.float32),
-                    jnp.asarray(mp3d, jnp.float32), jnp.asarray(mkpq, jnp.float32),
-                    jnp.asarray(cam8, jnp.float32).reshape(8),
-                    jnp.asarray(mask, jnp.float32),
-                )
+            n = len(mkpq)
+            n_pad = max(64, 1 << (n - 1).bit_length())  # bucket: jit reuse
+            p3 = np.zeros((n_pad, 3), np.float32)
+            kp = np.zeros((n_pad, 2), np.float32)
+            ms = np.zeros(n_pad, bool)
+            p3[:n], kp[:n], ms[:n] = mp3d, mkpq, inliers_rsac
+            q_r, t_r, num_r, nums = refine_pose_iterative(
+                jnp.asarray(qvec, jnp.float32), jnp.asarray(tvec, jnp.float32),
+                jnp.asarray(p3), jnp.asarray(kp),
+                jnp.asarray(cam8, jnp.float32).reshape(8),
+                jnp.asarray(ms), jnp.float32(cfg.opt_thresh),
+                iters=cfg.iters,
+            )
+            nums = np.asarray(nums)
+            if int(num_r) > 0:
                 qvec = np.asarray(q_r, np.float64)
                 tvec = np.asarray(t_r, np.float64)
-                num = int(mask.sum())
-                log += f"iter {it+1}: {num} inliers\n"
+                num = int(num_r)
+            for it, n_it in enumerate(nums):
+                if n_it >= 0:
+                    log += f"iter {it+1}: {int(n_it)} inliers\n"
         return qvec, tvec, num, log
 
     # ------------------------------------------------------------------

@@ -16,6 +16,8 @@ for TPU as fully batched, statically-shaped programs:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -303,6 +305,57 @@ def refine_pose_lm(
     w, dt = delta[:3], delta[3:]
     rot = _axis_angle_to_rotmat(w) @ rot0
     return rotmat_to_qvec(rot), tvec + dt
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "lm_iterations"))
+def refine_pose_iterative(
+    qvec: jax.Array,
+    tvec: jax.Array,
+    points3d: jax.Array,
+    points2d: jax.Array,
+    cam_params: jax.Array,
+    base_mask: jax.Array,  # [N] bool — RANSAC inliers (AND'd every iter)
+    opt_thresh: jax.Array | float,
+    iters: int = 5,
+    lm_iterations: int = 10,
+):
+    """Fused covisibility-refinement inner loop: per iteration, reproject,
+    re-select inliers (err ≤ opt_thresh AND base_mask), stop permanently
+    when support < 6, else LM-refine on the selection.
+
+    Parity: the reference's host loop in ``pose_refinement_covisibility``
+    (``it_loc/localize_cv2.py:341-370``) — identical selection rule, but
+    ONE jitted program instead of `iters` host↔device round-trips (each
+    costs a full relay RTT here, and op-by-op eager dispatch besides).
+
+    Returns (qvec, tvec, num — support of the last executed iteration
+    (0 if none ran), nums [iters] — per-iteration support, −1 where the
+    iteration did not run).
+    """
+    def body(carry, _):
+        q, t, stopped, num = carry
+        proj, _ = project_points(points3d, q, t, cam_params)
+        err = jnp.linalg.norm(points2d - proj, axis=1)
+        mask = (err <= opt_thresh) & base_mask
+        n = jnp.sum(mask)
+        run = (~stopped) & (n >= 6)
+        q_new, t_new = refine_pose_lm(
+            q, t, points3d, points2d, cam_params,
+            mask.astype(points3d.dtype), iterations=lm_iterations,
+        )
+        q = jnp.where(run, q_new, q)
+        t = jnp.where(run, t_new, t)
+        num = jnp.where(run, n, num)
+        stopped = stopped | ~run
+        return (q, t, stopped, num), jnp.where(run, n, -1)
+
+    (q, t, _, num), nums = jax.lax.scan(
+        body,
+        (qvec, tvec, jnp.array(False), jnp.array(0, jnp.int32)),
+        None,
+        length=iters,
+    )
+    return q, t, num, nums
 
 
 # ---------------------------------------------------------------------------
