@@ -553,6 +553,7 @@ def _e2e_localize(shared: dict, quick: bool) -> None:
             ransac_thresh=8.0, opt_thresh=8.0, inlier_thresh=10,
             covisibility_frame=10, iters=2, radius=12.0, obs_thresh=3,
             max_keypoints=1024, num_hypotheses=512,
+            pnp_pad_floor=4096,  # one PnP/refine program for every query
         )
         from sfd2_tpu.io.feature_store import FeatureStore
 

@@ -73,6 +73,11 @@ class LocalizerConfig:
     max_keypoints: int = 4096
     num_hypotheses: int = 1024
     matcher: str = "nnm"  # nnm | nnml (label-aware, it_loc/matcher.py:239)
+    # Floor for the padded correspondence-array size fed to PnP/refine.
+    # Per-query match counts vary, and every new power-of-2 bucket is a
+    # fresh jit compile (minutes through the remote-TPU compile helper);
+    # a floor ≥ the typical count pins everything to ONE program.
+    pnp_pad_floor: int = 64
 
 
 @dataclasses.dataclass
@@ -255,7 +260,7 @@ class LocalizationEngine:
     # ------------------------------------------------------------------
     def _run_pnp(self, mkpq, mp3d, cam8, thresh, seed=0):
         n = len(mkpq)
-        n_pad = max(64, 1 << (n - 1).bit_length())
+        n_pad = max(self.cfg.pnp_pad_floor, 1 << (n - 1).bit_length())
         kp = np.zeros((n_pad, 2), np.float32)
         p3 = np.zeros((n_pad, 3), np.float32)
         va = np.zeros(n_pad, bool)
@@ -330,7 +335,7 @@ class LocalizationEngine:
             from sfd2_tpu.localization.pnp import refine_pose_iterative
 
             n = len(mkpq)
-            n_pad = max(64, 1 << (n - 1).bit_length())  # bucket: jit reuse
+            n_pad = max(self.cfg.pnp_pad_floor, 1 << (n - 1).bit_length())
             p3 = np.zeros((n_pad, 3), np.float32)
             kp = np.zeros((n_pad, 2), np.float32)
             ms = np.zeros(n_pad, bool)
