@@ -517,18 +517,24 @@ def _kernel_exactness(shared: dict, on_tpu: bool) -> None:
 
     table = jax.random.normal(jax.random.fold_in(key, 4), (1000, 3), jnp.float32)
     idx = jax.random.randint(jax.random.fold_in(key, 5), (333,), 0, 1000)
-    if on_tpu:
-        g_p = gather_rows_pallas(table, idx)
-    else:
-        g_p = gather_rows_pallas(table, idx, interpret=True)
+    g_p = gather_rows_pallas(table, idx, interpret=interp)
     g_x = jnp.take(table, idx, axis=0)
     deltas["gather"] = float(np.max(np.abs(np.asarray(g_p) - np.asarray(g_x))))
+
+    # Big-N sorted path (the BA map-scale regime: bounded chunk walk).
+    big = jax.random.normal(jax.random.fold_in(key, 6), (100_000, 3), jnp.float32)
+    bidx = jnp.sort(
+        jax.random.randint(jax.random.fold_in(key, 7), (4096,), 0, 100_000))
+    gb_p = gather_rows_pallas(big, bidx, interpret=interp)
+    gb_x = jnp.take(big, bidx, axis=0)
+    deltas["gather_big_sorted"] = float(
+        np.max(np.abs(np.asarray(gb_p) - np.asarray(gb_x))))
 
     shared["kernel_deltas"] = deltas
     shared["kernels_exact"] = (
         deltas["nnm_idx"] == 0 and deltas["nnm_score"] == 0.0
         and deltas["nnr_idx"] == 0 and deltas["nnr_score"] == 0.0
-        and deltas["gather"] == 0.0
+        and deltas["gather"] == 0.0 and deltas["gather_big_sorted"] == 0.0
     )
 
 
