@@ -54,6 +54,12 @@ import traceback
 
 import numpy as np
 
+from sfd2_tpu.utils.benchtime import (
+    enable_compile_cache,
+    measure_rtt,
+    timed_per_item as _timed_per_item,
+)
+
 _REPO = os.path.dirname(os.path.abspath(__file__))
 _METRIC = "localization_pipeline_frames_per_s_per_chip"
 _STAGES = ("extract", "match", "pnp", "refine", "ba")  # headline terms
@@ -98,33 +104,6 @@ def _prev_bench():
     return f"BENCH_r{n:02d}", v, r01
 
 
-def _timed_per_item(fn, fence, items_per_call, iters=3, inner=8, rtt=0.0):
-    """MIN per-item time over `iters` windows of `inner` ASYNC dispatches
-    fenced once at the end.
-
-    The relay RTT (~25-35 ms, jittery) is paid once per *window*, not per
-    dispatch, so the subtraction is a small correction instead of the
-    dominant term. The estimator is the MIN across windows, not the
-    median: the relay intermittently enters multi-second turbulence
-    phases that inflate whole windows by 10-30× (device time is fixed;
-    relay noise is strictly additive), and a median over 3-4 windows
-    cannot reject a majority-turbulent sample. run_bench additionally
-    measures every stage in TWO passes separated by the other stages'
-    work (minutes apart) and keeps per-stage minima, since a turbulence
-    phase usually covers all back-to-back windows of a single stage.
-    """
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(inner):
-            out = fn()
-        fence(out)
-        ts.append(time.perf_counter() - t0)
-    t_window = min(ts)
-    return max(t_window - rtt, t_window * 0.05) / (inner * items_per_call)
-
-
 def _compose(shared: dict) -> dict:
     """Build the emittable JSON from whatever has been measured so far."""
     times = shared.get("times", {})
@@ -141,7 +120,9 @@ def _compose(shared: dict) -> dict:
     frame_time = sum(stage_s[s] for s in have)
     fps = 1.0 / frame_time if frame_time > 0 else 0.0
     complete = len(have) == len(_STAGES)
-    ref, prev, r01 = _prev_bench()
+    if "ledger" not in shared:  # one disk read, not one per stage update
+        shared["ledger"] = _prev_bench()
+    ref, prev, r01 = shared["ledger"]
 
     unit = ("frames/s (1024px extract@4096kp + 50-pair mutual-NN + "
             "PnP-RANSAC + 5-iter LM refine + map-BA/50 frames; device "
@@ -210,15 +191,7 @@ def run_bench(shared: dict) -> dict:
 
     import jax
 
-    # Persistent compilation cache: remote TPU compiles take minutes and
-    # are the wedge-vulnerable phase — retries must skip them.
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(_REPO, ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass
+    enable_compile_cache(_REPO)
 
     import jax.numpy as jnp
 
@@ -245,15 +218,7 @@ def run_bench(shared: dict) -> dict:
     key = jax.random.PRNGKey(0)
 
     # Relay RTT: every fenced dispatch pays a fixed host↔device round-trip.
-    tiny = jnp.zeros((8, 128))
-    tiny_f = jax.jit(lambda x, s: x + s)
-    np.asarray(tiny_f(tiny, 0.0)[0, :4])
-    rtts = []
-    for i in range(8):
-        t0 = time.perf_counter()
-        np.asarray(tiny_f(tiny, float(i + 1))[0, :4])
-        rtts.append(time.perf_counter() - t0)
-    rtt = min(rtts)  # min, not median: fixed overhead plus positive jitter
+    rtt = measure_rtt()
     shared["rtt"] = rtt
     shared["result"] = _compose(shared)
 
@@ -574,8 +539,9 @@ def _e2e_localize(shared: dict, quick: bool) -> None:
                 if i > 0:  # first query pays all jit compiles
                     per_q.append(dt)
                 n_acc += res.source == "accepted"
-                shared["e2e_query_ms"] = round(float(np.median(per_q)) * 1e3, 1) if per_q else None
-        shared["e2e_query_ms"] = round(float(np.median(per_q)) * 1e3, 1)
+                if per_q:
+                    shared["e2e_query_ms"] = round(
+                        float(np.median(per_q)) * 1e3, 1)
         shared["e2e_note"] = (
             f"median wall-clock over {len(per_q)} queries ({n_img}-img map, "
             f"{n_acc}/{len(scene.queries)} accepted; includes host orchestration"

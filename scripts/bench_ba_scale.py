@@ -14,48 +14,29 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
-
-def timed(fn, fence, inner=8, iters=3, rtt=0.0):
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(inner):
-            out = fn()
-        fence(out)
-        ts.append(time.perf_counter() - t0)
-    return max(min(ts) - rtt, min(ts) * 0.05) / inner
+from sfd2_tpu.utils.benchtime import (  # noqa: E402
+    enable_compile_cache,
+    measure_rtt,
+    timed_per_item as timed,
+)
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    enable_compile_cache(_REPO)
 
     from sfd2_tpu.ops.pallas_gather import gather_rows_pallas
 
     key = jax.random.PRNGKey(0)
-    tiny = jnp.zeros((8, 128))
-    tf = jax.jit(lambda x, s: x + s)
-    np.asarray(tf(tiny, 0.0)[0, :4])
-    rtts = []
-    for i in range(6):
-        t0 = time.perf_counter()
-        np.asarray(tf(tiny, float(i + 1))[0, :4])
-        rtts.append(time.perf_counter() - t0)
-    rtt = min(rtts)
+    rtt = measure_rtt(6)
     print(json.dumps({"rtt_ms": round(rtt * 1e3, 2)}), flush=True)
 
     take = jax.jit(lambda t, i: jnp.take(t, i, axis=0))

@@ -8,6 +8,7 @@ registry, image-list input, HDF5 export, resume) and
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import logging
 from pathlib import Path
 
@@ -67,8 +68,6 @@ def main(argv=None):
             "label chain (nets/extractor.py:240-326)"
         )
     cfg = EXTRACTION_CONFS[args.conf]
-    import dataclasses
-
     if args.as_half:
         cfg = dataclasses.replace(cfg, as_half=True)
     if args.bf16 != "auto":

@@ -258,9 +258,14 @@ class LocalizationEngine:
         return mp3d, mkpq, p3d_rows, q_ids, per_db
 
     # ------------------------------------------------------------------
+    def _pad_bucket(self, n: int) -> int:
+        """Power-of-2 pad size with the configured floor (one jit program
+        per bucket; see LocalizerConfig.pnp_pad_floor)."""
+        return max(self.cfg.pnp_pad_floor, 1 << (max(n, 1) - 1).bit_length())
+
     def _run_pnp(self, mkpq, mp3d, cam8, thresh, seed=0):
         n = len(mkpq)
-        n_pad = max(self.cfg.pnp_pad_floor, 1 << (n - 1).bit_length())
+        n_pad = self._pad_bucket(n)
         kp = np.zeros((n_pad, 2), np.float32)
         p3 = np.zeros((n_pad, 3), np.float32)
         va = np.zeros(n_pad, bool)
@@ -335,7 +340,7 @@ class LocalizationEngine:
             from sfd2_tpu.localization.pnp import refine_pose_iterative
 
             n = len(mkpq)
-            n_pad = max(self.cfg.pnp_pad_floor, 1 << (n - 1).bit_length())
+            n_pad = self._pad_bucket(n)
             p3 = np.zeros((n_pad, 3), np.float32)
             kp = np.zeros((n_pad, 2), np.float32)
             ms = np.zeros(n_pad, bool)

@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 _CROSSOVER_CHUNKS = 128
 
 
-def _make_kernel(c: int, r: int):
+def _make_kernel(c: int):
     """Grid over row groups; per group, walk chunks [lo_b, hi_b]."""
 
     def kernel(bounds_ref, lo_ref, hi_ref, table_ref, out_ref):
@@ -95,7 +95,7 @@ def gather_rows_pallas(
         [jnp.min(hi, axis=1), jnp.max(hi, axis=1)], axis=1
     )  # [r, 2] per-group chunk range (tight for sorted indices)
     out = pl.pallas_call(
-        _make_kernel(c, r),
+        _make_kernel(c),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(r,),

@@ -260,17 +260,18 @@ class Extractor:
         else:
             scales = cfg.scales
             active = [[True] * len(images)] * len(scales)
+        _dummy = np.zeros((1, 1, 3), np.float32)  # inactive at this depth:
+        # never resized, never inflates the padded batch; its (1,1) size
+        # border-masks every keypoint and act[i] skips collection anyway.
         for s, act in zip(scales, active):
             scaled = [
-                im
-                if s == 1.0
-                else np.asarray(
+                (im if s == 1.0 else np.asarray(
                     resize_bilinear(
                         jnp.asarray(im),
                         (int(im.shape[0] * s), int(im.shape[1] * s)),
                     )
-                )
-                for im in images
+                )) if a else _dummy
+                for im, a in zip(images, act)
             ]
             batch = self._pad_batch(scaled)
             sizes = jnp.asarray(
