@@ -1,0 +1,133 @@
+"""Long-lived localization service: warm jit caches, HTTP API.
+
+The reference ships offline scripts only (``test_aachenv_1_1`` et al.,
+one process per dataset run); a production deployment wants a resident
+service that pays model/program compilation ONCE and then answers
+queries at device speed. This daemon wraps the localization engine
+(`sfd2_tpu.localization.engine`) behind a minimal threaded HTTP server:
+
+  GET  /healthz   → {"ok": true, "images": N, "points3d": M}
+  POST /localize  → body {"query_name": str,           # in feature store
+                          "db_names": [str, ...]       # retrieved frames
+                          | "db_ids": [int, ...],
+                          "camera": {"model": str, "width": int,
+                                     "height": int, "params": [..]},
+                          "cluster_mode": "sng"|"one"}  # default sng
+                    → {"qvec": [w,x,y,z], "tvec": [x,y,z],
+                       "num_inliers": n, "source": ..., "ms": t}
+
+Queries are serialised through a lock (one device, deterministic jit
+cache); the warmup query at startup compiles the matcher / PnP / refine
+programs so the first real request is fast. TPU-native consequence of
+the static-shape design: every request reuses the same compiled
+programs (padded keypoint arrays + pnp_pad_floor buckets).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from sfd2_tpu.io.feature_store import FeatureStore
+from sfd2_tpu.localization.engine import LocalizationEngine, LocalizerConfig
+from sfd2_tpu.sfm.map_index import MapIndex
+
+log = logging.getLogger(__name__)
+
+
+class LocalizationService:
+    """Engine wrapper with name resolution and a dispatch lock."""
+
+    def __init__(
+        self,
+        map_index: MapIndex,
+        feature_store: FeatureStore,
+        config: LocalizerConfig = LocalizerConfig(),
+    ):
+        self.map = map_index
+        self.engine = LocalizationEngine(map_index, feature_store, config)
+        self._lock = threading.Lock()
+
+    def resolve_db_ids(self, body: dict):
+        if "db_ids" in body:
+            return [int(i) for i in body["db_ids"]]
+        return [self.map.name_to_image_id[n] for n in body["db_names"]]
+
+    def localize(self, body: dict) -> dict:
+        cam = body["camera"]
+        qinfo = (cam["model"], cam["width"], cam["height"],
+                 np.asarray(cam["params"], np.float64))
+        db_ids = self.resolve_db_ids(body)
+        clusters = ([db_ids] if body.get("cluster_mode") == "one"
+                    else [[i] for i in db_ids])
+        t0 = time.perf_counter()
+        with self._lock:
+            res = self.engine.localize(body["query_name"], qinfo, clusters)
+        return {
+            "qvec": [float(v) for v in res.qvec],
+            "tvec": [float(v) for v in res.tvec],
+            "num_inliers": int(res.num_inliers),
+            "source": res.source,
+            "ms": round((time.perf_counter() - t0) * 1e3, 1),
+        }
+
+    def warmup(self) -> float:
+        """Compile the match/PnP/refine programs with a throwaway query
+        (first DB image against its own neighbours). Returns seconds."""
+        t0 = time.perf_counter()
+        iid = int(self.map.image_ids[0])
+        name = self.map.images[iid].name
+        cam = self.map.cameras[self.map.images[iid].camera_id]
+        qinfo = (cam.model, cam.width, cam.height, np.asarray(cam.params))
+        near = [int(i) for i in self.map.image_ids[:4]]
+        with self._lock:
+            self.engine.localize(name, qinfo, [[i] for i in near])
+        return time.perf_counter() - t0
+
+
+def make_server(service: LocalizationService, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; port 0 picks a free port."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, payload: dict):
+            data = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {
+                    "ok": True,
+                    "images": len(service.map.images),
+                    "points3d": len(service.map.points3d),
+                })
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/localize":
+                self._reply(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n))
+                self._reply(200, service.localize(body))
+            except KeyError as e:
+                self._reply(400, {"error": f"missing field {e}"})
+            except Exception as e:  # malformed request must not kill the server
+                log.exception("localize failed")
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *args):  # route through logging, not stderr
+            log.debug("http: " + fmt, *args)
+
+    return ThreadingHTTPServer((host, port), Handler)
