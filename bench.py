@@ -16,9 +16,10 @@ calls for 30+ minutes — see CLAUDE.md):
   * every stage writes its result into a shared dict the moment it is
     measured, and the watchdog emits whatever is there when the budget
     expires — a wedge mid-run reports the stages that DID run;
-  * measurement pass 1 covers ALL stages and composes a full headline
-    BEFORE pass 2 / extras refine it, so a late wedge still yields a
-    complete number;
+  * each stage is measured ONCE immediately after its own compile+warm
+    (pass 0), so a wedge during a later stage's minutes-long compile
+    still reports every stage built so far; passes 1-2 then cover ALL
+    stages and refine the minima;
   * a persistent JAX compilation cache (.jax_cache/) makes retry runs
     skip the multi-minute remote compiles;
   * every attempt appends a timestamped record to BENCH_ATTEMPTS.jsonl
@@ -32,10 +33,8 @@ strictly additive — see _timed_per_item).
 
 vs_baseline: the reference publishes no speed numbers, so the ledger is
 round-over-round: baseline = the highest-round BENCH_r*.json with
-value>0 whose round is LOWER than the inferred current round
-(max existing round + 1) — a rerun after this round's artifact lands
-compares against it rather than silently against itself; the chosen
-file is reported as `vs_baseline_ref`.
+value>0 (wedged 0.0 artifacts skipped); the chosen file is reported as
+`vs_baseline_ref` and the round-1 ratio as `vs_r01`.
 
 Env knobs: BENCH_BUDGET_S (default 1680), BENCH_PASSES (2),
 BENCH_E2E / BENCH_EXACT (1), BENCH_QUICK=1 (small shapes, CPU-friendly).
@@ -78,9 +77,11 @@ def _append_attempt(record: dict) -> None:
 def _prev_bench():
     """(ref_name, value) for the ledger baseline + the r01 value.
 
-    Current round is inferred as max(existing BENCH_r N) + 1, so the
-    baseline is always a PRIOR round's artifact (never this run's own
-    output re-read after the driver saves it)."""
+    Baseline = the highest-round BENCH_r*.json with value>0 (wedged 0.0
+    rounds are skipped). A rerun after this round's artifact lands thus
+    compares against that artifact — a real prior measurement — and the
+    chosen file is always named in `vs_baseline_ref` so the comparison
+    is never silent."""
     rounds = {}
     for p in glob.glob(os.path.join(_REPO, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json", p)
@@ -95,8 +96,7 @@ def _prev_bench():
         rounds[int(m.group(1))] = v
     if not rounds:
         return None, None, None
-    current = max(rounds) + 1
-    prior = [(n, v) for n, v in rounds.items() if v > 0 and n < current]
+    prior = [(n, v) for n, v in rounds.items() if v > 0]
     r01 = rounds.get(1)
     if not prior:
         return None, None, r01
@@ -129,7 +129,10 @@ def _compose(shared: dict) -> dict:
             "time, relay RTT subtracted)")
     if not complete:
         unit = (f"frames/s over PARTIAL stages [{'+'.join(have)}] "
-                "(relay wedge cut the run; device time, RTT subtracted)")
+                "(run ended early — see error/stage_errors; device time, "
+                "RTT subtracted)")
+    if shared.get("quick"):
+        unit = "QUICK MODE (256px/512kp smoke shapes, NOT the headline) " + unit
 
     out = {
         "metric": _METRIC,
@@ -142,6 +145,11 @@ def _compose(shared: dict) -> dict:
     if not complete:
         out["partial"] = True
         out["stages_measured"] = have
+    if shared.get("quick"):
+        out["quick"] = True
+    fatal = (shared.get("stage_errors") or {}).get("fatal")
+    if fatal:
+        out["error"] = fatal
     if ref:
         out["vs_baseline_ref"] = ref
         out["prev_round_fps"] = prev
@@ -203,6 +211,7 @@ def run_bench(shared: dict) -> dict:
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
     shared["platform"] = platform
+    shared["quick"] = quick
     shared["phase"] = "setup"
     times = shared.setdefault("times", {})
     errors = shared.setdefault("stage_errors", {})
@@ -224,6 +233,20 @@ def run_bench(shared: dict) -> dict:
 
     stages = []  # (name, fn, fence, items_per_call, inner)
 
+    def add_stage(name, fn, fence, items, inner):
+        """Register a stage and measure ONE window immediately: a relay
+        wedge during a LATER stage's minutes-long compile still leaves
+        this stage's number in the emitted JSON (pass 1/2 refine it)."""
+        stages.append((name, fn, fence, items, inner))
+        shared["phase"] = f"measure:{name}:pass0"
+        try:
+            t = _timed_per_item(fn, fence, items, iters=1, inner=inner,
+                                rtt=rtt)
+            times[name] = min(times.get(name, float("inf")), t)
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"
+        shared["result"] = _compose(shared)
+
     # --- measured large-GEMM rate (MFU denominator) ---------------------
     shared["phase"] = "compile:gemm"
     gemm_n = 4096 if on_tpu else 512
@@ -239,8 +262,8 @@ def run_bench(shared: dict) -> dict:
         return x
 
     np.asarray(gemm_loop(a, b)[0, :4])
-    stages.append(("gemm", lambda: gemm_loop(a, b),
-                   lambda o: np.asarray(o[0, :4]), 1, 8))
+    add_stage("gemm", lambda: gemm_loop(a, b),
+              lambda o: np.asarray(o[0, :4]), 1, 8)
     shared["gemm_flops_total"] = reps * 2 * gemm_n**3
 
     # --- matching (50 candidate DB frames per query) --------------------
@@ -264,8 +287,8 @@ def run_bench(shared: dict) -> dict:
         match = lambda: vm(qdj, ddj)[0]
         shared["matcher"] = "xla"
     np.asarray(match()[:, :4])  # compile + warm
-    stages.append(("match", match, lambda o: np.asarray(o[:, :4]),
-                   match_chunk, 8))
+    add_stage("match", match, lambda o: np.asarray(o[:, :4]),
+              match_chunk, 8)
 
     # --- extraction -----------------------------------------------------
     # bf16 trunk on TPU (the production Extractor default): f32 matmuls
@@ -303,8 +326,8 @@ def run_bench(shared: dict) -> dict:
         shared["extract_flops"] = shared["extract_bytes"] = 0.0
     shared["ex_batch"] = ex_batch
     np.asarray(extract(variables, imgs).scores)  # compile + warm
-    stages.append(("extract", lambda: extract(variables, imgs),
-                   lambda o: np.asarray(o.scores[:, :8]), ex_batch, 8))
+    add_stage("extract", lambda: extract(variables, imgs),
+              lambda o: np.asarray(o.scores[:, :8]), ex_batch, 8)
 
     # --- PnP-RANSAC + covisibility-refinement PnP -----------------------
     shared["phase"] = "compile:pnp"
@@ -339,8 +362,8 @@ def run_bench(shared: dict) -> dict:
     res = pnp(xy, pts3d, valid, jax.random.PRNGKey(1))
     np.asarray(res.qvec)
     key_pnp = jax.device_put(jax.random.PRNGKey(1))
-    stages.append(("pnp", lambda: pnp(xy, pts3d, valid, key_pnp),
-                   lambda o: np.asarray(o.qvec), 1, 24))
+    add_stage("pnp", lambda: pnp(xy, pts3d, valid, key_pnp),
+              lambda o: np.asarray(o.qvec), 1, 24)
 
     # Refinement: 5 masked-LM iterations on the inlier set (iters knob of
     # test_aachenv_1_1) — jitted as ONE program.
@@ -355,9 +378,9 @@ def run_bench(shared: dict) -> dict:
     w_inl = res.inliers.astype(jnp.float32)
     rq, rt = refine(res.qvec, res.tvec, xy, pts3d, w_inl)
     np.asarray(rq)
-    stages.append(("refine",
-                   lambda: refine(res.qvec, res.tvec, xy, pts3d, w_inl),
-                   lambda o: np.asarray(o[0]), 1, 24))
+    add_stage("refine",
+              lambda: refine(res.qvec, res.tvec, xy, pts3d, w_inl),
+              lambda o: np.asarray(o[0]), 1, 24)
 
     # --- map BA (amortised per frame) -----------------------------------
     shared["phase"] = "compile:ba"
@@ -396,8 +419,8 @@ def run_bench(shared: dict) -> dict:
     )
     ba = jax.jit(lambda p: bundle_adjust(p, lm_iters=3, cg_iters=10))
     np.asarray(ba(problem).final_cost)
-    stages.append(("ba", lambda: ba(problem),
-                   lambda o: np.asarray(o.final_cost), 1, 3))
+    add_stage("ba", lambda: ba(problem),
+              lambda o: np.asarray(o.final_cost), 1, 3)
 
     # --- measurement passes: per-stage minima, result updated live ------
     for p in range(n_passes):
@@ -568,6 +591,10 @@ def main():
             shared.setdefault("stage_errors", {})["fatal"] = (
                 f"{type(e).__name__}: {e}")
             traceback.print_exc()
+            try:  # recompose so the fatal reaches the emitted JSON
+                shared["result"] = _compose(shared)
+            except Exception:
+                pass
         finally:
             done.set()
 
@@ -600,6 +627,8 @@ def main():
     _append_attempt({"event": "end", "elapsed_s": round(time.time() - t0, 1),
                      "completed": done.is_set(),
                      "phase": shared.get("phase"),
+                     "platform": shared.get("platform"),
+                     "quick": bool(shared.get("quick")),
                      "value": result.get("value"),
                      "error": result.get("error")})
     print(json.dumps(result), flush=True)

@@ -72,6 +72,25 @@ def _make_kernel(c: int):
     return kernel
 
 
+def _group_bounds(idx: jax.Array, m: int):
+    """Pad `idx` to whole 128-lane rows and split into per-group
+    lane-local index / chunk id / [min, max] chunk bounds.
+
+    Pads with the LAST index, not 0: zero-padding would drag the final
+    row group's chunk lower bound to 0 and turn its bounded walk back
+    into a full-table walk whenever M is not a multiple of 128."""
+    mp = -(-m // 128) * 128  # pad index count to lane rows
+    fill = idx[m - 1].astype(jnp.int32) if m > 0 else jnp.int32(0)
+    idx_p = jnp.full((mp,), fill, jnp.int32).at[:m].set(idx.astype(jnp.int32))
+    r = mp // 128
+    lo = (idx_p & 127).reshape(r, 128)
+    hi = jax.lax.shift_right_logical(idx_p, 7).reshape(r, 128)
+    bounds = jnp.stack(
+        [jnp.min(hi, axis=1), jnp.max(hi, axis=1)], axis=1
+    )  # [r, 2] per-group chunk range (tight for sorted indices)
+    return lo, hi, bounds, mp, r
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def gather_rows_pallas(
     table: jax.Array,  # [N, C] float
@@ -81,19 +100,12 @@ def gather_rows_pallas(
     """out[m] = table[idx[m]] via the bounded two-level chunk gather."""
     n, c = table.shape
     (m,) = idx.shape
-    mp = -(-m // 128) * 128  # pad index count to lane rows
     np_ = -(-n // 128) * 128  # pad table rows to whole chunks
     n_chunks = np_ // 128
-    idx_p = jnp.zeros((mp,), jnp.int32).at[:m].set(idx.astype(jnp.int32))
     table_t = jnp.zeros((c, np_), jnp.float32).at[:, :n].set(
         table.astype(jnp.float32).T
     ).reshape(c, n_chunks, 128)
-    r = mp // 128
-    lo = (idx_p & 127).reshape(r, 128)
-    hi = jax.lax.shift_right_logical(idx_p, 7).reshape(r, 128)
-    bounds = jnp.stack(
-        [jnp.min(hi, axis=1), jnp.max(hi, axis=1)], axis=1
-    )  # [r, 2] per-group chunk range (tight for sorted indices)
+    lo, hi, bounds, mp, r = _group_bounds(idx, m)
     out = pl.pallas_call(
         _make_kernel(c),
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -47,10 +47,14 @@ class LocalizationService:
         self,
         map_index: MapIndex,
         feature_store: FeatureStore,
-        config: LocalizerConfig = LocalizerConfig(),
+        config: LocalizerConfig | None = None,
     ):
+        # LocalizerConfig is a mutable dataclass — a default ARGUMENT
+        # would be one shared instance across every default-constructed
+        # service; build a fresh one per service instead.
         self.map = map_index
-        self.engine = LocalizationEngine(map_index, feature_store, config)
+        self.engine = LocalizationEngine(
+            map_index, feature_store, config or LocalizerConfig())
         self._lock = threading.Lock()
 
     def resolve_db_ids(self, body: dict):
@@ -120,10 +124,13 @@ def make_server(service: LocalizationService, host: str = "127.0.0.1",
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n))
+                if not isinstance(body, dict):
+                    raise json.JSONDecodeError("body must be an object", "", 0)
                 self._reply(200, service.localize(body))
-            except KeyError as e:
-                self._reply(400, {"error": f"missing field {e}"})
-            except Exception as e:  # malformed request must not kill the server
+            except (KeyError, json.JSONDecodeError, ValueError, TypeError) as e:
+                # client errors (missing fields, empty/malformed body) → 400
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:  # server fault must not kill the process
                 log.exception("localize failed")
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 

@@ -186,6 +186,21 @@ def test_gather_rows_pallas_sorted_bounds(rng):
         np.testing.assert_array_equal(np.asarray(out), table[ix])
 
 
+def test_gather_rows_pad_keeps_last_group_bounds_tight():
+    """Index padding must not widen the final row group's chunk bounds:
+    a sorted non-128-multiple index set near the table's end keeps the
+    last group's [min,max] chunk range tight (zero-padding regression)."""
+    import jax.numpy as jnp
+    from sfd2_tpu.ops.pallas_gather import _group_bounds
+
+    idx = jnp.arange(99_000, 99_129, dtype=jnp.int32)  # 129 = 128 + 1
+    _, _, bounds, mp, r = _group_bounds(idx, 129)
+    assert (mp, r) == (256, 2)
+    b = np.asarray(bounds)
+    assert b[1, 0] == 99_128 // 128  # lo bound stays at the real chunk
+    assert b[1, 1] == 99_128 // 128
+
+
 def build_big_problem(rng, n_cams=300, n_pts=100_000, obs_per_cam=1500,
                       perturb_pts=0.05):
     """Vectorised builder at COLMAP-mapper scale (point_triangulator on a

@@ -52,9 +52,26 @@ def test_compose_complete_headline():
     json.dumps(out)  # must be JSON-serialisable as emitted
 
 
+def test_compose_quick_mode_is_marked():
+    out = bench._compose(_ledgered({"quick": True, "times": {"match": 1e-5},
+                                    "n_db": 50}))
+    assert out["quick"] is True
+    assert out["unit"].startswith("QUICK MODE")
+
+
+def test_compose_fatal_error_reaches_json():
+    """A worker crash must be visible in the emitted line, not only in a
+    shared dict the watchdog never re-reads."""
+    out = bench._compose(_ledgered({
+        "times": {"match": 1e-5}, "n_db": 50,
+        "stage_errors": {"fatal": "RuntimeError: remote compile SIGABRT"},
+    }))
+    assert out["error"] == "RuntimeError: remote compile SIGABRT"
+    assert out["stage_errors"]["fatal"].startswith("RuntimeError")
+
+
 def test_prev_bench_round_inference(tmp_path, monkeypatch):
-    """Baseline = highest PRIOR round with value>0; zero rounds skipped;
-    the inferred current round (max+1) is never compared against."""
+    """Baseline = highest round with value>0; wedged 0.0 rounds skipped."""
     monkeypatch.setattr(bench, "_REPO", str(tmp_path))
     assert bench._prev_bench() == (None, None, None)
 

@@ -87,6 +87,17 @@ def test_malformed_requests_do_not_kill_server(served_scene):
     assert code in (400, 500) and "error" in res
     code, res = _post(server, "/nothing", {})
     assert code == 404
+    # Client errors are 4xx, not 5xx: empty body, non-object body.
+    addr = f"http://{server.server_address[0]}:{server.server_address[1]}"
+    req = urllib.request.Request(f"{addr}/localize", b"",
+                                 {"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("empty body should not be 200")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    code, res = _post(server, "/localize", ["not", "an", "object"])
+    assert code == 400 and "error" in res
     # Server still healthy afterwards.
     qname, q_gt, t_gt, near = scene.queries[1]
     code, res = _post(server, "/localize", {
