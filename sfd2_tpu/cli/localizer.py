@@ -40,6 +40,9 @@ def main(argv=None):
     parser.add_argument("--max_keypoints", type=int, default=4096)
     parser.add_argument("--query_prefix", default="")
     parser.add_argument("--db_prefix", default="")
+    parser.add_argument("--profile_dir", type=Path, default=None,
+                        help="emit a jax.profiler device trace of the "
+                             "query loop (TensorBoard profile tab)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -61,10 +64,17 @@ def main(argv=None):
         query_prefix=args.query_prefix,
         db_prefix=args.db_prefix,
     )
-    stats = run(
-        args.dataset, args.reference_sfm, args.queries, args.retrieval,
-        args.features, args.results, run_cfg, args.gt_pose_fn,
-    )
+    import contextlib
+
+    from sfd2_tpu.utils.profiling import trace
+
+    ctx = trace(str(args.profile_dir)) if args.profile_dir \
+        else contextlib.nullcontext()
+    with ctx:
+        stats = run(
+            args.dataset, args.reference_sfm, args.queries, args.retrieval,
+            args.features, args.results, run_cfg, args.gt_pose_fn,
+        )
     print(stats)
 
 

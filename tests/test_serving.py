@@ -81,6 +81,36 @@ def test_healthz_and_localize(served_scene):
     np.testing.assert_allclose(res2["qvec"], res["qvec"], atol=1e-6)
 
 
+def test_concurrent_requests_serialise_through_the_lock(served_scene):
+    """ThreadingHTTPServer + the service dispatch lock: simultaneous
+    clients all get answers, and identical requests get identical poses
+    (one device, deterministic jit programs)."""
+    import threading
+
+    scene, service, server, _ = served_scene
+    qname, q_gt, t_gt, near = scene.queries[0]
+    body = {
+        "query_name": qname, "db_ids": [int(i) for i in near],
+        "camera": {"model": scene.cam_model, "width": scene.width,
+                   "height": scene.height, "params": scene.cam_params},
+    }
+    results = [None] * 6
+
+    def go(i):
+        results[i] = _post(server, "/localize", body)
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert all(r is not None and r[0] == 200 for r in results), results
+    first = results[0][1]
+    for code, res in results[1:]:
+        np.testing.assert_allclose(res["qvec"], first["qvec"], atol=1e-6)
+        assert res["num_inliers"] == first["num_inliers"]
+
+
 def test_malformed_requests_do_not_kill_server(served_scene):
     scene, service, server, _ = served_scene
     code, res = _post(server, "/localize", {"query_name": "nope"})
