@@ -21,6 +21,7 @@ TPU-native redesign (SURVEY §7.1):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -42,6 +43,55 @@ def _bucket(d: int) -> int:
         if d <= b:
             return b
     return ((d + 127) // 128) * 128
+
+
+# ---------------------------------------------------------------------------
+# Packed device programs: every result is concatenated into ONE f32 vector
+# so the host fetches it with a single transfer. On the relay-backed TPU
+# each blocking device→host fetch costs a full RPC round-trip (~25-100 ms,
+# CLAUDE.md); the unpacked PnP result alone (qvec/tvec/inliers/num/success)
+# was five of them per call. Counts and 0/1 flags are exact in f32.
+
+@functools.lru_cache(maxsize=None)
+def _packed_pnp(num_hypotheses: int):
+    @jax.jit
+    def f(kp, p3, cam8, va, thresh, key):
+        res = pnp_ransac(kp, p3, cam8, va, threshold=thresh, key=key,
+                         num_hypotheses=num_hypotheses)
+        return jnp.concatenate([
+            res.qvec.astype(jnp.float32),
+            res.tvec.astype(jnp.float32),
+            jnp.stack([res.num_inliers.astype(jnp.float32),
+                       res.success.astype(jnp.float32)]),
+            res.inliers.astype(jnp.float32),
+        ])
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_refine(iters: int):
+    from sfd2_tpu.localization.pnp import refine_pose_iterative
+
+    @jax.jit
+    def f(qvec, tvec, p3, kp, cam8, ms, thresh):
+        q_r, t_r, num_r, nums = refine_pose_iterative(
+            qvec, tvec, p3, kp, cam8, ms, thresh, iters=iters)
+        return jnp.concatenate([
+            q_r.astype(jnp.float32),
+            t_r.astype(jnp.float32),
+            jnp.stack([num_r.astype(jnp.float32)]),
+            nums.astype(jnp.float32),
+        ])
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _device_prng(seed: int):
+    """Device-resident PRNGKey per seed (a host-made key re-uploads ~1 ms
+    through the relay on every call)."""
+    return jax.device_put(jax.random.PRNGKey(seed))
 
 
 def _np_project(points3d, qvec, tvec, cam8):
@@ -111,10 +161,37 @@ class LocalizationEngine:
 
         self._db_cache: "OrderedDict[str, tuple]" = OrderedDict()
         self._db_cache_max = 1024
+        # Device-resident DB banks: each image's padded descriptors are
+        # uploaded ONCE and stay in HBM (~2 MB each at K=4096); re-sending
+        # the bank per query costs seconds through the relay (CLAUDE.md
+        # "uploads are slow") and is wasted host→HBM traffic anywhere.
+        self._db_dev_cache: "OrderedDict[str, tuple]" = OrderedDict()
+        self._dev_zero_entry = None
         # Fused Pallas matcher on TPU, XLA elsewhere; 'nnml' adds
         # semantic-label compatibility masking (it_loc/matcher.py:239).
         self._matcher = batch_matcher(self.cfg.matcher)
         self._label_aware = self.cfg.matcher == "nnml"
+
+        # The query is broadcast against the bank IN-GRAPH: uploading a
+        # host-materialised [D, K, C] broadcast copies the query D times
+        # over the wire.
+        matcher = self._matcher
+        if self._label_aware:
+            def _mq(q, bank, qv, bv, ql, bl):
+                d = bank.shape[0]
+                return matcher(
+                    jnp.broadcast_to(q[None], (d, *q.shape)), bank,
+                    jnp.broadcast_to(qv[None], (d, qv.shape[0])), bv,
+                    jnp.broadcast_to(ql[None], (d, ql.shape[0])), bl,
+                )
+        else:
+            def _mq(q, bank, qv, bv):
+                d = bank.shape[0]
+                return matcher(
+                    jnp.broadcast_to(q[None], (d, *q.shape)), bank,
+                    jnp.broadcast_to(qv[None], (d, qv.shape[0])), bv,
+                )
+        self._matcher_q = jax.jit(_mq)
 
     # ------------------------------------------------------------------
     def _db_feats(self, image_id: int):
@@ -138,6 +215,35 @@ class LocalizationEngine:
                 self._db_cache.popitem(last=False)
         return self._db_cache[name]
 
+    def _db_feats_dev(self, image_id: int):
+        """Device-resident (desc [K,C], valid3d [K], labels [K]) for a DB
+        image — uploaded once, LRU-cached in HBM. The reference's ≤3-valid
+        bail-out (it_loc/localize_cv2.py:530) is baked into the mask."""
+        name = self.map.images[image_id].name
+        if name in self._db_dev_cache:
+            self._db_dev_cache.move_to_end(name)
+        else:
+            _, desc, valid3d, _, labels = self._db_feats(image_id)
+            v = valid3d if valid3d.sum() > 3 else np.zeros_like(valid3d)
+            self._db_dev_cache[name] = (
+                jnp.asarray(desc), jnp.asarray(v),
+                jnp.asarray(labels) if self._label_aware else None,
+            )
+            if len(self._db_dev_cache) > self._db_cache_max:
+                self._db_dev_cache.popitem(last=False)
+        return self._db_dev_cache[name]
+
+    def _dev_zero(self, c: int):
+        """Padding entry for bank slots past len(db_ids)."""
+        if self._dev_zero_entry is None or \
+                self._dev_zero_entry[0].shape[1] != c:
+            k = self.cfg.max_keypoints
+            self._dev_zero_entry = (
+                jnp.zeros((k, c), jnp.float32), jnp.zeros(k, bool),
+                jnp.zeros(k, jnp.int32) if self._label_aware else None,
+            )
+        return self._dev_zero_entry
+
     def _match_query_to_dbs(self, q_desc, q_valid, db_ids: Sequence[int],
                             q_labels=None):
         """One batched mutual-NN launch: query vs every candidate DB bank,
@@ -150,20 +256,20 @@ class LocalizationEngine:
             d_pad = ((d_pad + n_dev - 1) // n_dev) * n_dev
         k = self.cfg.max_keypoints
         c = q_desc.shape[1]
-        db_desc = np.zeros((d_pad, k, c), np.float32)
-        db_valid = np.zeros((d_pad, k), bool)
-        db_labels = np.zeros((d_pad, k), np.int32)
-        for i, iid in enumerate(db_ids):
-            _, desc, valid3d, _, labels = self._db_feats(iid)
-            db_desc[i] = desc
-            db_labels[i] = labels
-            # Reference bails out when ≤3 valid 3D rows.
-            if valid3d.sum() > 3:
-                db_valid[i] = valid3d
         ql = q_labels if q_labels is not None else np.zeros(k, np.int32)
         if self.mesh is not None:
             from sfd2_tpu.ops.sharded_match import query_vs_sharded_bank
 
+            db_desc = np.zeros((d_pad, k, c), np.float32)
+            db_valid = np.zeros((d_pad, k), bool)
+            db_labels = np.zeros((d_pad, k), np.int32)
+            for i, iid in enumerate(db_ids):
+                _, desc, valid3d, _, labels = self._db_feats(iid)
+                db_desc[i] = desc
+                db_labels[i] = labels
+                # Reference bails out when ≤3 valid 3D rows.
+                if valid3d.sum() > 3:
+                    db_valid[i] = valid3d
             matches, _ = query_vs_sharded_bank(
                 self.mesh,
                 jnp.asarray(q_desc), jnp.asarray(db_desc),
@@ -172,18 +278,16 @@ class LocalizationEngine:
                 jnp.asarray(db_labels) if self._label_aware else None,
             )
             return np.asarray(matches)[: len(db_ids)]
-        q_desc_b = np.broadcast_to(q_desc, (d_pad, k, c))
-        q_valid_b = np.broadcast_to(q_valid, (d_pad, k))
-        args = [
-            jnp.asarray(q_desc_b), jnp.asarray(db_desc),
-            jnp.asarray(q_valid_b), jnp.asarray(db_valid),
-        ]
+        # Single-chip path: stack HBM-cached per-image banks on device
+        # (no descriptor re-upload), broadcast the query in-graph.
+        entries = [self._db_feats_dev(iid) for iid in db_ids]
+        entries += [self._dev_zero(c)] * (d_pad - len(db_ids))
+        bank = jnp.stack([e[0] for e in entries])
+        bval = jnp.stack([e[1] for e in entries])
+        args = [jnp.asarray(q_desc), bank, jnp.asarray(q_valid), bval]
         if self._label_aware:
-            args += [
-                jnp.asarray(np.broadcast_to(ql, (d_pad, k))),
-                jnp.asarray(db_labels),
-            ]
-        matches, _ = self._matcher(*args)
+            args += [jnp.asarray(ql), jnp.stack([e[2] for e in entries])]
+        matches, _ = self._matcher_q(*args)
         return np.asarray(matches)[: len(db_ids)]
 
     # ------------------------------------------------------------------
@@ -272,17 +376,17 @@ class LocalizationEngine:
         kp[:n] = mkpq
         p3[:n] = mp3d
         va[:n] = True
-        res = pnp_ransac(
-            jnp.asarray(kp), jnp.asarray(p3), jnp.asarray(cam8, jnp.float32).reshape(8),
-            jnp.asarray(va), threshold=float(thresh), key=jax.random.PRNGKey(seed),
-            num_hypotheses=self.cfg.num_hypotheses,
-        )
+        out = np.asarray(_packed_pnp(self.cfg.num_hypotheses)(
+            jnp.asarray(kp), jnp.asarray(p3),
+            jnp.asarray(cam8, jnp.float32).reshape(8),
+            jnp.asarray(va), jnp.float32(thresh), _device_prng(seed),
+        ))  # ONE device→host fetch: [qvec(4), tvec(3), num, success, inliers]
         return (
-            np.asarray(res.qvec, np.float64),
-            np.asarray(res.tvec, np.float64),
-            np.asarray(res.inliers)[:n],
-            int(res.num_inliers),
-            bool(res.success),
+            out[:4].astype(np.float64),
+            out[4:7].astype(np.float64),
+            out[9:9 + n] > 0.5,
+            int(out[7]),
+            bool(out[8] > 0.5),
         )
 
     # ------------------------------------------------------------------
@@ -336,27 +440,25 @@ class LocalizationEngine:
         if "ref" in cfg.opt_type and inliers_rsac.sum() >= 10:
             # Fused iterative re-select + LM (ONE jitted dispatch for all
             # cfg.iters rounds instead of a host↔device ping-pong per
-            # round — each round-trip costs a full relay RTT).
-            from sfd2_tpu.localization.pnp import refine_pose_iterative
-
+            # round — each round-trip costs a full relay RTT), fetched as
+            # ONE packed vector [qvec(4), tvec(3), num, nums(iters)].
             n = len(mkpq)
             n_pad = self._pad_bucket(n)
             p3 = np.zeros((n_pad, 3), np.float32)
             kp = np.zeros((n_pad, 2), np.float32)
             ms = np.zeros(n_pad, bool)
             p3[:n], kp[:n], ms[:n] = mp3d, mkpq, inliers_rsac
-            q_r, t_r, num_r, nums = refine_pose_iterative(
+            out = np.asarray(_packed_refine(cfg.iters)(
                 jnp.asarray(qvec, jnp.float32), jnp.asarray(tvec, jnp.float32),
                 jnp.asarray(p3), jnp.asarray(kp),
                 jnp.asarray(cam8, jnp.float32).reshape(8),
                 jnp.asarray(ms), jnp.float32(cfg.opt_thresh),
-                iters=cfg.iters,
-            )
-            nums = np.asarray(nums)
-            if int(num_r) > 0:
-                qvec = np.asarray(q_r, np.float64)
-                tvec = np.asarray(t_r, np.float64)
-                num = int(num_r)
+            ))
+            nums = out[8:]
+            if int(out[7]) > 0:
+                qvec = out[:4].astype(np.float64)
+                tvec = out[4:7].astype(np.float64)
+                num = int(out[7])
             for it, n_it in enumerate(nums):
                 if n_it >= 0:
                     log += f"iter {it+1}: {int(n_it)} inliers\n"
@@ -380,6 +482,12 @@ class LocalizationEngine:
         kpq, q_desc, _, q_valid, q_labels = self.features.read_padded(
             qname, k, with_labels=True
         )
+        # One query upload per localize() call — both match rounds (initial
+        # clusters + covisibility re-match) reuse the same device arrays.
+        q_desc = jnp.asarray(q_desc)
+        q_valid = jnp.asarray(q_valid)
+        if q_labels is not None and self._label_aware:
+            q_labels = jnp.asarray(q_labels)
         q_feats = (kpq, q_desc, q_valid, q_labels)
         log = ""
 
