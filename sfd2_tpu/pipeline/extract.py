@@ -207,7 +207,7 @@ class Extractor:
                 h, w = images.shape[1], images.shape[2]
                 if score.shape[1] != h or score.shape[2] != w:
                     score = resize_bilinear(score[..., None], (h, w))[..., 0]
-                return extract_keypoints(
+                kp = extract_keypoints(
                     score,
                     out.descriptors,
                     out.stability,
@@ -218,6 +218,19 @@ class Extractor:
                     nms_radius=cfg.nms_radius,
                     border=cfg.border,
                 )
+                # Pack everything into ONE [B, K, 4+C(+1)] f32 buffer so the
+                # host fetches a batch with a single blocking transfer
+                # (each fetch through the relay costs a full RPC RTT).
+                # Validity is 0/1; packed label ids are < 2^24, exact in f32.
+                parts = [
+                    kp.xy,
+                    kp.scores[..., None],
+                    kp.descriptors.astype(jnp.float32),
+                    kp.valid[..., None].astype(jnp.float32),
+                ]
+                if kp.labels is not None:
+                    parts.append(kp.labels[..., None].astype(jnp.float32))
+                return jnp.concatenate(parts, axis=-1)
 
             self._programs[key] = run
         return self._programs[key]
@@ -293,14 +306,16 @@ class Extractor:
                 sizes_dev = put_batch(self.mesh, sizes)
                 variables = put_replicated(self.mesh, self.variables)
                 lbl_dev = put_batch(self.mesh, lbl) if lbl is not None else None
-                kp = prog(variables, batch_dev, sizes_dev, lbl_dev)
+                packed = prog(variables, batch_dev, sizes_dev, lbl_dev)
             else:
-                kp = prog(self.variables, jnp.asarray(batch), sizes, lbl)
-            xy = np.asarray(kp.xy)
-            scores = np.asarray(kp.scores)
-            descs = np.asarray(kp.descriptors)
-            valid = np.asarray(kp.valid)
-            labels = np.asarray(kp.labels) if kp.labels is not None else None
+                packed = prog(self.variables, jnp.asarray(batch), sizes, lbl)
+            packed = np.asarray(packed)  # ONE device→host fetch per batch
+            c = packed.shape[-1] - (5 if with_labels else 4)
+            xy = packed[..., 0:2]
+            scores = packed[..., 2]
+            descs = packed[..., 3:3 + c]
+            valid = packed[..., 3 + c] > 0.5
+            labels = packed[..., 4 + c].astype(np.int32) if with_labels else None
             for i, im in enumerate(images):
                 if not act[i]:  # below this image's auto-pyramid depth
                     continue
