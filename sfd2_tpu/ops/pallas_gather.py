@@ -13,11 +13,11 @@ group — fine at N=8k (64 chunks, ~4× faster than XLA at C=3) but it
 loses to XLA's scalar gather on ~100k-row tables. Two mechanisms fix
 the big-N regime:
 
-* per-row-group CHUNK BOUNDS: the kernel receives each group's
+* per-block CHUNK BOUNDS: the kernel receives each 8-group block's
   [min, max] chunk (computed with two cheap XLA reductions) and walks
   only that dynamic range (`lax.fori_loop`). For SORTED indices each
-  group of 128 consecutive indices spans ~⌈N/M⌉ chunks, so total work
-  drops from O(M/128 · N/128) to O(M/128 + N/128). `sfm/ba.py` sorts
+  block of 1024 consecutive indices spans ~⌈8N/M⌉ chunks, so total work
+  drops from O(M/128 · N/128) to O(M/1024 + N/128). `sfm/ba.py` sorts
   its observations by point index once per solve precisely to hit this
   path (order-invariant math — everything downstream is a segment_sum).
 * a STATIC crossover for unsorted indices: when the table exceeds
@@ -46,49 +46,62 @@ from jax.experimental.pallas import tpu as pltpu
 _CROSSOVER_CHUNKS = 128
 
 
+_SUBLANES = 8  # row groups per kernel block (full 8x128 vregs; Mosaic
+#                requires the sublane block dim be a multiple of 8)
+
+
 def _make_kernel(c: int):
-    """Grid over row groups; per group, walk chunks [lo_b, hi_b]."""
+    """Grid over 8-group blocks; per block, walk chunks [lo_b, hi_b].
+
+    Each block holds 8 row groups as the sublanes of full 8x128 vregs:
+    one lane-local `take_along_axis` serves all 8 groups per visited
+    chunk (Mosaic lowers per-sublane lane gathers in-register — same
+    scheme as pallas_match._gather_chunks, proven on hardware). A
+    (1, 128) block would both waste 7/8 of every vreg and violate
+    Mosaic's sublane-divisibility rule for non-full blocks."""
 
     def kernel(bounds_ref, lo_ref, hi_ref, table_ref, out_ref):
         i = pl.program_id(0)
-        lo = lo_ref[...]  # [1, 128] lane-local index
-        hi = hi_ref[...]  # [1, 128] chunk id
+        lo = lo_ref[...]  # [8, 128] lane-local index
+        hi = hi_ref[...]  # [8, 128] chunk id
         c0 = bounds_ref[i, 0]
         c1 = bounds_ref[i, 1]
         for ci in range(c):
             def body(k, acc):
                 chunk = table_ref[ci, k, :].reshape(1, 128)
                 g = jnp.take_along_axis(
-                    jnp.broadcast_to(chunk, (1, 128)), lo, axis=1,
+                    jnp.broadcast_to(chunk, (_SUBLANES, 128)), lo, axis=1,
                     mode="promise_in_bounds",
                 )
                 return jnp.where(hi == k, g, acc)
 
-            acc = jax.lax.fori_loop(
-                c0, c1 + 1, body, jnp.zeros((1, 128), jnp.float32)
+            out_ref[ci] = jax.lax.fori_loop(
+                c0, c1 + 1, body, jnp.zeros((_SUBLANES, 128), jnp.float32)
             )
-            out_ref[ci, 0] = acc[0]
 
     return kernel
 
 
 def _group_bounds(idx: jax.Array, m: int):
-    """Pad `idx` to whole 128-lane rows and split into per-group
-    lane-local index / chunk id / [min, max] chunk bounds.
+    """Pad `idx` to whole 8x128 blocks and split into per-group
+    lane-local index / chunk id / per-BLOCK [min, max] chunk bounds.
 
     Pads with the LAST index, not 0: zero-padding would drag the final
-    row group's chunk lower bound to 0 and turn its bounded walk back
-    into a full-table walk whenever M is not a multiple of 128."""
-    mp = -(-m // 128) * 128  # pad index count to lane rows
+    block's chunk lower bound to 0 and turn its bounded walk back into
+    a full-table walk whenever M is not a multiple of 1024."""
+    blk = _SUBLANES * 128
+    mp = -(-m // blk) * blk  # pad index count to whole blocks
     fill = idx[m - 1].astype(jnp.int32) if m > 0 else jnp.int32(0)
     idx_p = jnp.full((mp,), fill, jnp.int32).at[:m].set(idx.astype(jnp.int32))
     r = mp // 128
+    rb = r // _SUBLANES
     lo = (idx_p & 127).reshape(r, 128)
     hi = jax.lax.shift_right_logical(idx_p, 7).reshape(r, 128)
+    hi_b = hi.reshape(rb, blk)
     bounds = jnp.stack(
-        [jnp.min(hi, axis=1), jnp.max(hi, axis=1)], axis=1
-    )  # [r, 2] per-group chunk range (tight for sorted indices)
-    return lo, hi, bounds, mp, r
+        [jnp.min(hi_b, axis=1), jnp.max(hi_b, axis=1)], axis=1
+    )  # [rb, 2] per-block chunk range (tight for sorted indices)
+    return lo, hi, bounds, mp, rb
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -105,20 +118,21 @@ def gather_rows_pallas(
     table_t = jnp.zeros((c, np_), jnp.float32).at[:, :n].set(
         table.astype(jnp.float32).T
     ).reshape(c, n_chunks, 128)
-    lo, hi, bounds, mp, r = _group_bounds(idx, m)
+    lo, hi, bounds, mp, rb = _group_bounds(idx, m)
     out = pl.pallas_call(
         _make_kernel(c),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(r,),
+            grid=(rb,),
             in_specs=[
-                pl.BlockSpec((1, 128), lambda i, b: (i, 0)),
-                pl.BlockSpec((1, 128), lambda i, b: (i, 0)),
+                pl.BlockSpec((_SUBLANES, 128), lambda i, b: (i, 0)),
+                pl.BlockSpec((_SUBLANES, 128), lambda i, b: (i, 0)),
                 pl.BlockSpec((c, n_chunks, 128), lambda i, b: (0, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((c, 1, 128), lambda i, b: (0, i, 0)),
+            out_specs=pl.BlockSpec((c, _SUBLANES, 128),
+                                   lambda i, b: (0, i, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((c, r, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c, rb * _SUBLANES, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 << 20),
         interpret=interpret,
     )(bounds, lo, hi, table_t)

@@ -194,11 +194,11 @@ def test_gather_rows_pad_keeps_last_group_bounds_tight():
     from sfd2_tpu.ops.pallas_gather import _group_bounds
 
     idx = jnp.arange(99_000, 99_129, dtype=jnp.int32)  # 129 = 128 + 1
-    _, _, bounds, mp, r = _group_bounds(idx, 129)
-    assert (mp, r) == (256, 2)
+    _, _, bounds, mp, rb = _group_bounds(idx, 129)
+    assert (mp, rb) == (1024, 1)  # one 8x128 block
     b = np.asarray(bounds)
-    assert b[1, 0] == 99_128 // 128  # lo bound stays at the real chunk
-    assert b[1, 1] == 99_128 // 128
+    assert b[0, 0] == 99_000 // 128  # lo bound stays at the real chunks
+    assert b[0, 1] == 99_128 // 128  # (zero-padding would drag lo to 0)
 
 
 def build_big_problem(rng, n_cams=300, n_pts=100_000, obs_per_cam=1500,
