@@ -40,10 +40,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Tables larger than this many 128-row chunks use XLA's gather unless the
 # caller promises sorted indices (worst-case walk would exceed the scalar
-# gather's ~10 µs/1k-rows). The naive walk measured ~4× faster than XLA
-# at 64 chunks (N=8192, C=3); the bounded walk keeps per-group cost flat
-# for sorted indices at any N. Re-measure with scripts/bench_ba_scale.py.
-_CROSSOVER_CHUNKS = 128
+# gather's cost). Measured on the v5e (scripts/bench_ba_scale.py,
+# 2026-08-18, 8-sublane kernel): SORTED stays ~0.16 ms flat from
+# N=8k..131k and M=51k..410k (up to 10.4x over XLA); UNSORTED costs
+# ~0.24 ns/idx/chunk vs XLA's ~4-10 ns/idx scalar gather, so the
+# unsorted break-even is ~16 chunks (~2k rows). BA's camera-block
+# gathers (N=cams, a few chunks, M=obs large) sit far below it; its
+# point-block gathers pass idx_sorted=True (observations sorted by
+# point once per solve).
+_CROSSOVER_CHUNKS = 16
 
 
 _SUBLANES = 8  # row groups per kernel block (full 8x128 vregs; Mosaic
@@ -145,9 +150,10 @@ def gather_rows(
     """Backend-dispatching row gather (TPU → Pallas kernel, else XLA).
 
     `idx_sorted=True` promises non-decreasing indices, which makes the
-    kernel's bounded chunk walk O(M/128 + N/128) — always profitable.
+    kernel's bounded chunk walk O(M/1024 + N/128) — always profitable.
     Without the promise, tables wider than `_CROSSOVER_CHUNKS` chunks
-    fall back to XLA's scalar gather (documented crossover)."""
+    fall back to XLA's scalar gather (measured crossover — see the
+    constant's comment)."""
     if jax.default_backend() == "tpu" and table.ndim == 2:
         n_chunks = -(-table.shape[0] // 128)
         if idx_sorted or n_chunks <= _CROSSOVER_CHUNKS:
