@@ -221,7 +221,7 @@ def run_bench(shared: dict) -> dict:
     c = 128
     n_db = 50  # candidate DB frames per query (test_aachen NetVLAD top-50)
     shared["n_db"] = n_db
-    ex_batch = 8 if on_tpu else 1
+    ex_batch = 16 if on_tpu else 1  # 16 beats 8 by ~4%/img (measured)
     match_chunk = n_db if on_tpu else 10
 
     key = jax.random.PRNGKey(0)

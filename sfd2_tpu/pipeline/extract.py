@@ -47,7 +47,9 @@ class ExtractionConfig:
     # extrat_spp_feats_multiscale) with per-image depth.
     scales: Tuple[float, ...] | str = (1.0,)
     pad_multiple: int = 64  # static-shape bucketing granularity
-    batch_size: int = 4
+    batch_size: int = 16  # measured on the v5e @1024²: 5.91 ms/img at 16
+    #                       vs 6.16 at 8 (latency-hiding across images);
+    #                       host RAM/HBM comfortably fit 16×1600² padded
     bf16: bool | None = None  # run the conv stack in bfloat16. None = auto:
     #                     on by default on TPU (f32 matmuls already run at
     #                     bf16 MXU precision there, so bf16 only cuts
