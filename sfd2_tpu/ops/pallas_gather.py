@@ -1,17 +1,18 @@
 """Pallas row-gather for TPU: out[m] = table[idx[m]] for small-C tables.
 
-XLA lowers `table[idx]` to a scalar gather (~10 µs per 1k rows — the
-[51200]←[8192] point-block gather inside every bundle-adjustment CG
-iteration costs 1.06 ms, dominating the whole solve). Mosaic's
-`tpu.dynamic_gather` is an in-register lane shuffle but only supports
-single-vreg (128-lane) tables, so this kernel walks the table in
-128-wide chunks per 128-index row group: lane-local gather + chunk
-select on the high index bits — pure vector ops.
+XLA lowers `table[idx]` to a scalar gather costing ~4-10 ns/index
+standalone (and ~20 ns/index when embedded in the round-2 BA CG loop,
+where the [51200]←[8192] point-block gather measured 1.06 ms and
+dominated the solve). Mosaic's `tpu.dynamic_gather` is an in-register
+lane shuffle but only supports single-vreg (128-lane) tables, so this
+kernel walks the table in 128-wide chunks per 8×128-index block:
+lane-local gather + chunk select on the high index bits — pure vector
+ops serving 8 row groups per visited chunk.
 
-Scaling (round-3 redesign): the naive walk is O(N/128) chunks per row
-group — fine at N=8k (64 chunks, ~4× faster than XLA at C=3) but it
-loses to XLA's scalar gather on ~100k-row tables. Two mechanisms fix
-the big-N regime:
+Scaling (round-3 redesign): a full walk visits all N/128 chunks per
+block (~0.24 ns/idx/chunk measured — see `_CROSSOVER_CHUNKS`), so it
+loses to XLA's scalar gather beyond ~16 chunks of table. Two mechanisms
+fix the big-N regime:
 
 * per-block CHUNK BOUNDS: the kernel receives each 8-group block's
   [min, max] chunk (computed with two cheap XLA reductions) and walks

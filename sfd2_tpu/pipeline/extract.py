@@ -390,7 +390,26 @@ class Extractor:
                 if mask_dir is not None:
                     mpath = (Path(mask_dir) / n).with_suffix(mask_suffix)
                     lmaps.append(load_label_map(mpath))
-            feats = self.extract_batch(images, lmaps if mask_dir is not None else None)
+            # Group the chunk by padded bucket shape before dispatch:
+            # extract_batch pads every image to the chunk's joint max, so
+            # a mixed portrait/landscape chunk would otherwise pad ~all
+            # images to ~square (up to 2x wasted conv compute) and mint
+            # extra (hp, wp) jit buckets (each a multi-minute remote
+            # compile). Grouping keeps padding within-orientation and
+            # per-group batches still amortise dispatch latency.
+            m = cfg.pad_multiple
+            groups: Dict[Tuple[int, int], List[int]] = {}
+            for gi, im in enumerate(images):
+                bkey = (-(-im.shape[0] // m) * m, -(-im.shape[1] // m) * m)
+                groups.setdefault(bkey, []).append(gi)
+            feats: List = [None] * len(images)
+            for idxs in groups.values():
+                gfeats = self.extract_batch(
+                    [images[j] for j in idxs],
+                    [lmaps[j] for j in idxs] if mask_dir is not None else None,
+                )
+                for j, f in zip(idxs, gfeats):
+                    feats[j] = f
             for n, f, (w0, h0), im in zip(chunk, feats, orig_sizes, images):
                 scale = np.array(
                     [w0 / im.shape[1], h0 / im.shape[0]], np.float32

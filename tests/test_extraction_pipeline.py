@@ -191,3 +191,40 @@ def test_multiscale_auto_non_square(small_extractor, rng):
         assert len(feats.keypoints) >= len(single.keypoints)
     finally:
         pe._AUTO_MIN_EDGE = old
+
+
+def test_extract_to_store_groups_by_bucket_shape(tmp_path, rng):
+    """A mixed portrait/landscape chunk must dispatch per padded-bucket
+    group, not pad everything to the joint (square) max: the portrait
+    and landscape jit buckets exist, the joint-max square one does not
+    (each extra bucket is a multi-minute remote compile on TPU, and
+    square-padding a whole chunk wastes up to 2x conv compute)."""
+    import cv2
+
+    model = ResSegNetV2(require_stability=True)
+    x = np.zeros((1, 64, 64, 3), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    cfg = ExtractionConfig(
+        max_keypoints=64, conf_threshold=1e-5, resize_max=128, pad_multiple=32,
+        batch_size=4,
+    )
+    ex = Extractor(variables, cfg, model=model)
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    names = []
+    for i, hw in enumerate([(64, 128), (128, 64), (64, 128), (128, 64)]):
+        im = (rng.random((*hw, 3)) * 255).astype(np.uint8)
+        name = f"img_{i}.png"
+        cv2.imwrite(str(d / name), im)
+        names.append(name)
+
+    with FeatureStore(tmp_path / "f.h5", "w") as fs:
+        n = ex.extract_to_store(d, names, fs)
+        assert n == 4
+        for name in names:
+            assert fs.read(name).keypoints.shape[1] == 2
+
+    shapes = {k[0][:2] for k in ex._programs}
+    assert (64, 128) in shapes and (128, 64) in shapes
+    assert (128, 128) not in shapes  # the joint-max square bucket
