@@ -141,6 +141,13 @@ def load_label_map(path) -> np.ndarray:
     return r * 65536 + g * 256 + b
 
 
+def _pow2_ceil(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
 def _resize_labels_nearest(labels: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
     """Nearest-neighbour resize for id maps (ids cannot be interpolated)."""
     h, w = hw
@@ -361,6 +368,22 @@ class Extractor:
             )
         return out
 
+    def _probe_bucket(self, path) -> Tuple[int, int]:
+        """Padded bucket shape an image will land in after load_image's
+        resize — from a header-only size read (no pixel decode), so the
+        whole work list can be grouped before any batch is assembled.
+        Must mirror load_image's rounding exactly."""
+        from PIL import Image
+
+        with Image.open(path) as im:
+            w, h = im.size
+        rm = self.cfg.resize_max
+        if rm and max(h, w) > rm:
+            s = rm / max(h, w)
+            w, h = int(round(w * s)), int(round(h * s))
+        m = self.cfg.pad_multiple
+        return (-(-h // m) * m, -(-w // m) * m)
+
     def extract_to_store(
         self,
         image_dir,
@@ -376,52 +399,86 @@ class Extractor:
         `mask_dir`: optional directory of per-image semantic-mask images
         (same relative path with extension replaced by `mask_suffix`);
         when given, extraction is labeled-first and a ``labels`` dataset
-        is stored per image (consumed by the NNML matcher)."""
+        is stored per image (consumed by the NNML matcher).
+
+        Jit-bucket discipline (reference loader behaviour:
+        ``extract_localization.py:122-178``): the WHOLE todo list is
+        grouped by padded bucket shape first (header-only size probe),
+        then each group is chunked into `batch_size` pieces — so an
+        interleaved portrait/landscape list dispatches full-size batches
+        per orientation instead of minting a per-chunk zoo of
+        (B, hp, wp) programs (each a multi-minute remote TPU compile).
+        Remainder chunks are padded with 1×1 dummies up to the next
+        power of two, bounding batch dims per shape bucket to
+        {batch_size} ∪ {one pow2 remainder}."""
         cfg = self.cfg
+        import logging
+
         todo = [n for n in names if not (skip_existing and n in store)]
+        groups: Dict[Tuple[int, int] | None, List[str]] = {}
+        for n in todo:
+            try:
+                bkey = self._probe_bucket(Path(image_dir) / n)
+            except Exception:
+                bkey = None  # unreadable header: grouped together; load_image
+                #               will raise (or handle) at decode time below
+            groups.setdefault(bkey, []).append(n)
+        if todo:
+            batch_dims = set()
+            for g in groups.values():
+                if len(g) >= cfg.batch_size:
+                    batch_dims.add(cfg.batch_size)
+                r = len(g) % cfg.batch_size
+                if r:
+                    batch_dims.add(min(cfg.batch_size, _pow2_ceil(r)))
+            logging.getLogger(__name__).info(
+                "extract_to_store: %d images in %d shape bucket(s) %s; "
+                "batch_size=%d, batch dims %s -> <=%d jit programs",
+                len(todo), len(groups),
+                {(f"{k[0]}x{k[1]}" if k else "?"): len(v)
+                 for k, v in sorted(groups.items(), key=lambda kv: str(kv[0]))},
+                cfg.batch_size, sorted(batch_dims),
+                sum(1 + (len(g) % cfg.batch_size > 0
+                         and len(g) >= cfg.batch_size)
+                    for g in groups.values()),
+            )
         count = 0
-        for i in range(0, len(todo), cfg.batch_size):
-            chunk = todo[i : i + cfg.batch_size]
-            images, orig_sizes, lmaps = [], [], []
-            for n in chunk:
-                im, (w0, h0) = load_image(Path(image_dir) / n, cfg.resize_max)
-                images.append(im)
-                orig_sizes.append((w0, h0))
-                if mask_dir is not None:
-                    mpath = (Path(mask_dir) / n).with_suffix(mask_suffix)
-                    lmaps.append(load_label_map(mpath))
-            # Group the chunk by padded bucket shape before dispatch:
-            # extract_batch pads every image to the chunk's joint max, so
-            # a mixed portrait/landscape chunk would otherwise pad ~all
-            # images to ~square (up to 2x wasted conv compute) and mint
-            # extra (hp, wp) jit buckets (each a multi-minute remote
-            # compile). Grouping keeps padding within-orientation and
-            # per-group batches still amortise dispatch latency.
-            m = cfg.pad_multiple
-            groups: Dict[Tuple[int, int], List[int]] = {}
-            for gi, im in enumerate(images):
-                bkey = (-(-im.shape[0] // m) * m, -(-im.shape[1] // m) * m)
-                groups.setdefault(bkey, []).append(gi)
-            feats: List = [None] * len(images)
-            for idxs in groups.values():
-                gfeats = self.extract_batch(
-                    [images[j] for j in idxs],
-                    [lmaps[j] for j in idxs] if mask_dir is not None else None,
-                )
-                for j, f in zip(idxs, gfeats):
-                    feats[j] = f
-            for n, f, (w0, h0), im in zip(chunk, feats, orig_sizes, images):
-                scale = np.array(
-                    [w0 / im.shape[1], h0 / im.shape[0]], np.float32
-                )
-                # Reference rescale: (kp + 0.5) * scale − 0.5.
-                kp = (f.keypoints + 0.5) * scale - 0.5
-                store.write(
-                    n,
-                    ImageFeatures(
-                        kp, f.descriptors, f.scores, np.array([w0, h0]), f.labels
-                    ),
-                    as_half=cfg.as_half,
-                )
-                count += 1
+        for gnames in groups.values():
+            for i in range(0, len(gnames), cfg.batch_size):
+                chunk = gnames[i : i + cfg.batch_size]
+                images, orig_sizes, lmaps = [], [], []
+                for n in chunk:
+                    im, (w0, h0) = load_image(Path(image_dir) / n, cfg.resize_max)
+                    images.append(im)
+                    orig_sizes.append((w0, h0))
+                    if mask_dir is not None:
+                        mpath = (Path(mask_dir) / n).with_suffix(mask_suffix)
+                        lmaps.append(load_label_map(mpath))
+                # Pad the batch dim of remainder chunks to the next power
+                # of two with 1×1 dummies (border-masked to zero keypoints,
+                # they never change the (hp, wp) bucket) so each shape
+                # bucket compiles a bounded set of batch dims.
+                n_real = len(images)
+                bpad = min(cfg.batch_size, _pow2_ceil(n_real))
+                while len(images) < bpad:
+                    images.append(np.zeros((1, 1, 3), np.float32))
+                    if mask_dir is not None:
+                        lmaps.append(np.zeros((1, 1), np.int32))
+                feats = self.extract_batch(
+                    images, lmaps if mask_dir is not None else None
+                )[:n_real]
+                for n, f, (w0, h0), im in zip(chunk, feats, orig_sizes, images):
+                    scale = np.array(
+                        [w0 / im.shape[1], h0 / im.shape[0]], np.float32
+                    )
+                    # Reference rescale: (kp + 0.5) * scale − 0.5.
+                    kp = (f.keypoints + 0.5) * scale - 0.5
+                    store.write(
+                        n,
+                        ImageFeatures(
+                            kp, f.descriptors, f.scores, np.array([w0, h0]), f.labels
+                        ),
+                        as_half=cfg.as_half,
+                    )
+                    count += 1
         return count

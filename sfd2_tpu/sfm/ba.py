@@ -17,9 +17,15 @@ TPU-native design (SURVEY §7.1):
   CG (block-Jacobi preconditioner from the damped Hcc diagonal blocks);
   wall-clock per iteration is a handful of [O]-length fused elementwise
   passes + tiny [C,6] solves.
-* Huber robust weights; LM damping with accept/reject on true cost.
-* Jacobians come from vmapped jacfwd of the single-observation residual
-  (XLA fuses the 2×9 chain rule into the data pass).
+* Huber robust weights; LM damping with a gain-ratio trust-region
+  schedule (Ceres/Madsen-Nielsen semantics — the trust-region update
+  behind ``hloc/triangulation.py:129-147``'s Ceres solves): λ shrinks by
+  max(1/3, 1−(2ρ−1)³) on accept, grows by a doubling ν on reject.
+* ONE gather+residual pass per LM iteration: each iteration linearizes
+  (residual + Jacobian + robust cost in a single fused pass) at the
+  trial point, and an accepted trial's linearization is reused as the
+  next iteration's — rejected iterations re-solve the carried normal
+  equations with a larger λ without touching the observations.
 """
 
 from __future__ import annotations
@@ -172,27 +178,11 @@ def bundle_adjust(
         cp_o = gather_rows(cam_params_all, obs_cam)
         return rot_o, t_o, p_o, cp_o
 
-    def cost_of(rot0, tvecs, points):
-        rot_o, t_o, p_o, cp_o = gather_obs(rot0, tvecs, points)
-
-        def res(o_xy, ro, to, po, cpo):
-            return _residual_one(
-                jnp.zeros(6), jnp.zeros(3), ro, to, po, cpo, o_xy,
-            )
-
-        r = jax.vmap(res)(obs_xy, rot_o, t_o, p_o, cp_o)  # [O, 2]
-        r2 = jnp.sum(r * r, axis=1)
-        hw = _huber_weight(r2, huber_delta)
-        # Huber cost (integrated form).
-        rr = jnp.sqrt(jnp.maximum(r2, 1e-12))
-        c = jnp.where(
-            rr <= huber_delta, 0.5 * r2, huber_delta * (rr - 0.5 * huber_delta)
-        )
-        return jnp.sum(c * base_w), hw
-
-    def gn_step(rot0, tvecs, points, lam):
-        """One damped GN step via Schur PCG. Returns (dcam [C,6], dpt [P,3])."""
-
+    def linearize(rot0, tvecs, points):
+        """ONE fused gather pass: residuals, Jacobians, IRLS weights and
+        the true Huber cost at the given parameters. An accepted trial's
+        linearization is carried into the next LM iteration, so accepted
+        iterations touch the observation tables exactly once."""
         rot_o, t_o, p_o, cp_o = gather_obs(rot0, tvecs, points)
 
         def jac_res(o_xy, ro, to, po, cpo):
@@ -208,7 +198,17 @@ def bundle_adjust(
         jc = jc * gather_rows(free_cam, obs_cam)[:, None, :]
         if not optimize_points:
             jp = jp * 0.0
+        # Huber cost (integrated form).
+        rr = jnp.sqrt(jnp.maximum(r2, 1e-12))
+        c = jnp.where(
+            rr <= huber_delta, 0.5 * r2, huber_delta * (rr - 0.5 * huber_delta)
+        )
+        return (r, jc, jp, w), jnp.sum(c * base_w)
 
+    def solve(lin, lam):
+        """Damped Schur-PCG solve of the carried normal equations.
+        Returns (dcam [C,6], dpt [P,3], predicted cost reduction)."""
+        r, jc, jp, w = lin
         wj = w[:, None, None]
         hcc = jax.ops.segment_sum(
             jnp.einsum("oij,oik->ojk", jc * wj, jc), obs_cam, n_cam
@@ -294,7 +294,15 @@ def bundle_adjust(
         dpt = -jnp.einsum("pjk,pk->pj", hpp_inv, bp + hpc_apply(dcam))
         if not optimize_points:
             dpt = dpt * 0.0
-        return dcam, dpt
+        # Predicted reduction of the quadratic model for the damped solve
+        # (H + λD) d = −g:  pred = ½(λ dᵀDd − gᵀd) — both terms ≥ 0 for a
+        # descent step (Madsen-Nielsen eq. 3.21 adapted to D = diag(H)).
+        d_c = jnp.maximum(jnp.einsum("cii->ci", hcc), 1e-6)
+        d_p = jnp.maximum(jnp.einsum("pii->pi", hpp), 1e-6)
+        dtd = jnp.sum(dcam * d_c * dcam) + jnp.sum(dpt * d_p * dpt)
+        gtd = jnp.sum(dcam * bc) + jnp.sum(dpt * bp)
+        pred = 0.5 * (lam * dtd - gtd)
+        return dcam, dpt, pred
 
     def apply_update(rot0, tvecs, points, dcam, dpt):
         rot_new = jax.vmap(lambda d, r: _axis_angle_to_rotmat(d) @ r)(
@@ -303,29 +311,47 @@ def bundle_adjust(
         return rot_new, tvecs + dcam[:, 3:], points + dpt
 
     rot0, tvecs, points = unpack(problem.qvecs, problem.tvecs, problem.points)
-    cost0, _ = cost_of(rot0, tvecs, points)
+    lin0, cost0 = linearize(rot0, tvecs, points)
 
     def lm_body(carry, _):
-        rot0, tvecs, points, lam, cost = carry
-        dcam, dpt = gn_step(rot0, tvecs, points, lam)
+        rot0, tvecs, points, lam, nu, cost, lin = carry
+        dcam, dpt, pred = solve(lin, lam)
         rot_n, tvec_n, pts_n = apply_update(rot0, tvecs, points, dcam, dpt)
-        new_cost, _ = cost_of(rot_n, tvec_n, pts_n)
+        lin_n, new_cost = linearize(rot_n, tvec_n, pts_n)
         finite = (
             jnp.isfinite(new_cost)
             & jnp.all(jnp.isfinite(rot_n))
             & jnp.all(jnp.isfinite(pts_n))
         )
         accept = finite & (new_cost < cost)
-        rot0 = jnp.where(accept, rot_n, rot0)
-        tvecs = jnp.where(accept, tvec_n, tvecs)
-        points = jnp.where(accept, pts_n, points)
-        cost = jnp.where(accept, new_cost, cost)
-        lam = jnp.where(accept, lam * 0.3, lam * 5.0)
-        return (rot0, tvecs, points, lam, cost), cost
+        # Gain ratio: actual / model-predicted reduction. On a rejected
+        # step rho only feeds the (discarded) accept branch of lam.
+        rho = (cost - new_cost) / jnp.maximum(pred, 1e-12)
+        sel = lambda a, b: jnp.where(accept, a, b)
+        rot0 = sel(rot_n, rot0)
+        tvecs = sel(tvec_n, tvecs)
+        points = sel(pts_n, points)
+        cost = sel(new_cost, cost)
+        lin = jax.tree_util.tree_map(sel, lin_n, lin)
+        # Madsen-Nielsen gain-ratio schedule (Ceres trust-region
+        # semantics): strong agreement with the model (rho→1) cuts λ by
+        # up to 3×; marginal agreement barely changes it; each rejection
+        # doubles the growth factor ν.
+        lam_acc = lam * jnp.maximum(
+            1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3
+        )
+        lam = jnp.where(
+            accept,
+            jnp.clip(lam_acc, 1e-10, 1e8),
+            jnp.minimum(lam * nu, 1e8),
+        )
+        nu = jnp.where(accept, 2.0, jnp.minimum(nu * 2.0, 64.0))
+        return (rot0, tvecs, points, lam, nu, cost, lin), cost
 
-    (rot0, tvecs, points, _, cost), _ = jax.lax.scan(
+    (rot0, tvecs, points, _, _, cost, _), _ = jax.lax.scan(
         lm_body,
-        (rot0, tvecs, points, jnp.float32(init_lambda), cost0),
+        (rot0, tvecs, points, jnp.float32(init_lambda), jnp.float32(2.0),
+         cost0, lin0),
         None,
         length=lm_iters,
     )

@@ -228,3 +228,48 @@ def test_extract_to_store_groups_by_bucket_shape(tmp_path, rng):
     shapes = {k[0][:2] for k in ex._programs}
     assert (64, 128) in shapes and (128, 64) in shapes
     assert (128, 128) not in shapes  # the joint-max square bucket
+
+
+def test_extract_to_store_bounded_jit_programs(tmp_path, rng):
+    """Interleaved portrait/landscape lists must NOT mint a per-chunk zoo
+    of (B, hp, wp) programs (ADVICE r03): the whole todo list is grouped
+    by bucket shape first, then chunked, with remainder batch dims padded
+    to a power of two — so each shape bucket traces a bounded batch-dim
+    set (here exactly one trace per bucket), instead of up to batch_size
+    distinct multi-minute remote compiles."""
+    import cv2
+
+    model = ResSegNetV2(require_stability=True)
+    x = np.zeros((1, 64, 64, 3), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    cfg = ExtractionConfig(
+        max_keypoints=64, conf_threshold=1e-5, resize_max=128, pad_multiple=32,
+        batch_size=4,
+    )
+    ex = Extractor(variables, cfg, model=model)
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    names = []
+    # 6 images alternating orientation: naive chunking would split every
+    # chunk of 4 into sub-batches of sizes {2, 1}, minting extra traces.
+    for i in range(6):
+        hw = (64, 128) if i % 2 == 0 else (128, 64)
+        im = (rng.random((*hw, 3)) * 255).astype(np.uint8)
+        name = f"img_{i}.png"
+        cv2.imwrite(str(d / name), im)
+        names.append(name)
+
+    with FeatureStore(tmp_path / "f.h5", "w") as fs:
+        assert ex.extract_to_store(d, names, fs) == 6
+        for name in names:
+            f = fs.read(name)
+            assert f.keypoints.shape[1] == 2
+            assert len(f.keypoints) > 0  # dummy batch-padding didn't leak
+
+    shapes = {k[0][:2] for k in ex._programs}
+    assert shapes == {(64, 128), (128, 64)}
+    # Each group of 3 pads its single chunk to batch dim 4: exactly one
+    # trace per shape bucket.
+    for prog in ex._programs.values():
+        assert prog._cache_size() == 1
