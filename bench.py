@@ -186,8 +186,42 @@ def _compose(shared: dict) -> dict:
         out["relay_rtt_ms"] = round(shared["rtt"] * 1e3, 2)
     if "matcher" in shared:
         out["matcher"] = shared["matcher"]
+
+    # Aachen production extraction config (1600px resize_max,
+    # extract_localization.py:39): a second headline with the r1600
+    # extract swapped in for the 1024px ECMU one (VERDICT r3 #2).
+    if "extract1600" in times:
+        out["extract1600_ms"] = round(times["extract1600"] * 1e3, 2)
+        if complete:
+            frame_1600 = frame_time - stage_s["extract"] + times["extract1600"]
+            out["fps_1600"] = round(1.0 / frame_1600, 3)
+            out["fps_1600_note"] = ("Aachen production config: 1600x1200 "
+                                    "extract@4096kp + same match/pnp/"
+                                    "refine/ba terms")
+
+    # Run-variance discipline (VERDICT r3 weak #1): fps recomputed from
+    # each COMPLETE measurement pass's own stage times, so docs can quote
+    # a median + spread instead of a best-of-runs.
+    by_pass = shared.get("times_by_pass") or []
+    fps_passes = []
+    for tp in by_pass:
+        if all(s in tp for s in _STAGES):
+            ft = (tp["extract"] + tp["match"] * n_db + tp["pnp"]
+                  + tp["refine"] + tp["ba"] / shared.get("ba_frames", n_db))
+            fps_passes.append(round(1.0 / ft, 3))
+    if fps_passes:
+        out["fps_per_pass"] = fps_passes
+        out["fps_median_passes"] = round(float(np.median(fps_passes)), 3)
+        if len(fps_passes) > 1 and max(fps_passes) > 0:
+            out["fps_spread_pct"] = round(
+                100.0 * (max(fps_passes) - min(fps_passes))
+                / max(fps_passes), 1)
+
     for k in ("kernels_exact", "kernel_deltas", "e2e_query_ms",
-              "e2e_note", "stage_errors"):
+              "e2e_recall_025m_2deg", "e2e_recall_05m_5deg",
+              "e2e_med_terr_m", "e2e_med_rerr_deg",
+              "e2e_qps_sequential", "e2e_qps_pipelined",
+              "e2e_pipeline_speedup", "e2e_note", "stage_errors"):
         if shared.get(k) is not None and shared.get(k) != {}:
             out[k] = shared[k]
     return out
@@ -422,13 +456,42 @@ def run_bench(shared: dict) -> dict:
     add_stage("ba", lambda: ba(problem),
               lambda o: np.asarray(o.final_cost), 1, 3)
 
+    # --- extraction at the Aachen production config (VERDICT r3 #2) -----
+    # resize_max 1600 (extract_localization.py:39); 1600x1200 = the
+    # typical landscape Aachen bucket, 1.83x the ECMU 1024² pixels.
+    # Registered LAST so a wedge during its fresh multi-minute compile
+    # cannot cost any headline stage its pass-0 number.
+    if on_tpu and not quick:
+        shared["phase"] = "compile:extract1600"
+        h16, w16 = 1600, 1200
+        ex16_batch = 8 if on_tpu else 1
+
+        @jax.jit
+        def extract1600(variables, images):
+            out = model.apply(variables, images)
+            return extract_keypoints(
+                out.score, out.descriptors, out.stability,
+                max_keypoints=k, conf_threshold=0.001,
+            )
+
+        imgs16 = jax.random.normal(
+            jax.random.fold_in(key, 16), (ex16_batch, h16, w16, 3),
+            jnp.float32)
+        np.asarray(extract1600(variables, imgs16).scores)  # compile + warm
+        add_stage("extract1600", lambda: extract1600(variables, imgs16),
+                  lambda o: np.asarray(o.scores[:, :8]), ex16_batch, 4)
+
     # --- measurement passes: per-stage minima, result updated live ------
+    by_pass = shared.setdefault("times_by_pass", [])
     for p in range(n_passes):
+        pass_times: dict = {}
+        by_pass.append(pass_times)
         for name, fn, fence, items, inner in stages:
             shared["phase"] = f"measure:{name}:pass{p+1}"
             try:
                 t = _timed_per_item(fn, fence, items, inner=inner, rtt=rtt)
                 times[name] = min(times.get(name, float("inf")), t)
+                pass_times[name] = t
             except Exception as e:
                 errors[name] = f"{type(e).__name__}: {e}"
             shared["result"] = _compose(shared)
@@ -530,30 +593,53 @@ def _e2e_localize(shared: dict, quick: bool) -> None:
     """Wall-clock `LocalizationEngine.localize` over a synthetic corridor
     map — host orchestration + transfers + device compute, nothing
     subtracted. The honest per-query number next to the stage-min
-    composite (the reference's per-query loop, localize_cv2.py:652)."""
+    composite (the reference's per-query loop, localize_cv2.py:652).
+
+    Round-4 upgrades (VERDICT r3 #3/#4):
+      * PRODUCTION shapes on TPU — 4096 kp/image, 50 candidate frames,
+        C=128, Aachen LocalizerConfig defaults — so e2e_query_ms is
+        comparable to the 4096-kp stage headline;
+      * pose accuracy scored against the scene's ground truth: recall at
+        the Aachen (0.25m,2°)/(0.5m,5°) bands + median errors
+        (localizer.py:158-170 semantics) — an engine that accepts
+        clusters but returns degraded poses now fails visibly;
+      * a pipelined pass (localize_many, 4 workers) overlapping host
+        phases with device compute → e2e_qps_pipelined vs sequential.
+    """
     import tempfile
 
+    from sfd2_tpu.geometry.np_pose import pose_error
     from sfd2_tpu.localization.engine import LocalizationEngine, LocalizerConfig
     from sfd2_tpu.utils.synth import build_corridor_scene
 
-    n_img, n_q = (20, 4) if quick else (60, 12)
-    with tempfile.TemporaryDirectory() as td:
-        scene = build_corridor_scene(
-            os.path.join(td, "f.h5"), n_images=n_img, n_queries=n_q,
-            n_points=2000, kp_per_image=700, kp_per_query=500,
-            retrieval_k=10, seed=7,
-        )
+    production = shared.get("platform") == "tpu" and not quick
+    if production:
+        # Aachen production shapes: 4096 kp, top-50 retrieval, C=128
+        # (extract_localization.py:39 + test_aachenv_1_1:14).
+        n_img, n_q = 60, 8
+        scene_kw = dict(n_points=14000, kp_per_image=4096,
+                        kp_per_query=4096, desc_dim=128, retrieval_k=50)
+        cfg = LocalizerConfig(max_keypoints=4096, pnp_pad_floor=4096)
+    else:
+        n_img, n_q = (20, 4) if quick else (60, 12)
+        scene_kw = dict(n_points=2000, kp_per_image=700,
+                        kp_per_query=500, retrieval_k=10)
         cfg = LocalizerConfig(
             ransac_thresh=8.0, opt_thresh=8.0, inlier_thresh=10,
             covisibility_frame=10, iters=2, radius=12.0, obs_thresh=3,
             max_keypoints=1024, num_hypotheses=512,
             pnp_pad_floor=4096,  # one PnP/refine program for every query
         )
+    with tempfile.TemporaryDirectory() as td:
+        scene = build_corridor_scene(
+            os.path.join(td, "f.h5"), n_images=n_img, n_queries=n_q,
+            seed=7, **scene_kw,
+        )
         from sfd2_tpu.io.feature_store import FeatureStore
 
         with FeatureStore(scene.feature_path, "r") as fs:
             eng = LocalizationEngine(scene.map_index, fs, cfg)
-            per_q = []
+            per_q, errs = [], []
             n_acc = 0
             for i, (qname, q_gt, t_gt, near) in enumerate(scene.queries):
                 t0 = time.perf_counter()
@@ -562,13 +648,41 @@ def _e2e_localize(shared: dict, quick: bool) -> None:
                 if i > 0:  # first query pays all jit compiles
                     per_q.append(dt)
                 n_acc += res.source == "accepted"
+                errs.append(pose_error(res.qvec, res.tvec, q_gt, t_gt))
                 if per_q:
                     shared["e2e_query_ms"] = round(
                         float(np.median(per_q)) * 1e3, 1)
+                    shared["result"] = _compose(shared)
+            q_err = np.array([e[0] for e in errs])
+            t_err = np.array([e[1] for e in errs])
+            shared["e2e_recall_025m_2deg"] = round(
+                float(np.mean((t_err < 0.25) & (q_err < 2.0))), 3)
+            shared["e2e_recall_05m_5deg"] = round(
+                float(np.mean((t_err < 0.5) & (q_err < 5.0))), 3)
+            shared["e2e_med_terr_m"] = round(float(np.median(t_err)), 4)
+            shared["e2e_med_rerr_deg"] = round(float(np.median(q_err)), 3)
+            shared["result"] = _compose(shared)
+
+            # Pipelined pass: same queries, 4 worker threads — overlap
+            # host assembly/fetch RTT with device compute (VERDICT r3 #4).
+            jobs = [(qname, scene.qinfo, [[j] for j in near])
+                    for qname, _, _, near in scene.queries]
+            t0 = time.perf_counter()
+            results_p = eng.localize_many(jobs, workers=4)
+            wall_p = time.perf_counter() - t0
+            seq_qps = 1.0 / float(np.median(per_q)) if per_q else 0.0
+            pip_qps = len(jobs) / wall_p
+            shared["e2e_qps_sequential"] = round(seq_qps, 2)
+            shared["e2e_qps_pipelined"] = round(pip_qps, 2)
+            shared["e2e_pipeline_speedup"] = round(
+                pip_qps / seq_qps, 2) if seq_qps else 0.0
+            acc_p = sum(r.source == "accepted" for r in results_p)
         shared["e2e_note"] = (
-            f"median wall-clock over {len(per_q)} queries ({n_img}-img map, "
-            f"{n_acc}/{len(scene.queries)} accepted; includes host orchestration"
-            " + relay RTT per dispatch; first-query compile excluded)"
+            f"median wall-clock over {len(per_q)} queries ({n_img}-img map"
+            f"{', PRODUCTION 4096kp/50-frame shapes' if production else ''}, "
+            f"{n_acc}/{len(scene.queries)} accepted seq, {acc_p} pipelined; "
+            "includes host orchestration + relay RTT per dispatch; "
+            "first-query compile excluded)"
         )
 
 

