@@ -217,7 +217,7 @@ def _compose(shared: dict) -> dict:
                 100.0 * (max(fps_passes) - min(fps_passes))
                 / max(fps_passes), 1)
 
-    for k in ("kernels_exact", "kernel_deltas", "e2e_query_ms",
+    for k in ("fused_stem", "kernels_exact", "kernel_deltas", "e2e_query_ms",
               "e2e_recall_025m_2deg", "e2e_recall_05m_5deg",
               "e2e_med_terr_m", "e2e_med_rerr_deg",
               "e2e_qps_sequential", "e2e_qps_pipelined",
@@ -332,6 +332,13 @@ def run_bench(shared: dict) -> dict:
     ex_dtype = jnp.bfloat16 if on_tpu else jnp.float32
     model = ResSegNetV2(require_stability=True, dtype=ex_dtype)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32))
+    # Fused s2d stem (ops/stem.py) — the production TPU extraction path:
+    # conv1a never runs at full resolution (VERDICT r3 #1).
+    from sfd2_tpu.ops.stem import fused_stem_apply, repack_stem_params
+
+    packed_stem = repack_stem_params(
+        variables["params"], variables["batch_stats"]) if on_tpu else None
+    shared["fused_stem"] = bool(packed_stem is not None)
     if on_tpu:
         variables = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16)
@@ -341,7 +348,12 @@ def run_bench(shared: dict) -> dict:
 
     @jax.jit
     def extract(variables, images):
-        out = model.apply(variables, images)
+        if packed_stem is not None:
+            out1c = fused_stem_apply(images, packed_stem, ex_dtype)
+            out = model.apply(variables, out1c,
+                              method=model.forward_from_out1c)
+        else:
+            out = model.apply(variables, images)
         return extract_keypoints(
             out.score, out.descriptors, out.stability,
             max_keypoints=k, conf_threshold=0.001,
@@ -468,7 +480,12 @@ def run_bench(shared: dict) -> dict:
 
         @jax.jit
         def extract1600(variables, images):
-            out = model.apply(variables, images)
+            if packed_stem is not None:
+                out1c = fused_stem_apply(images, packed_stem, ex_dtype)
+                out = model.apply(variables, out1c,
+                                  method=model.forward_from_out1c)
+            else:
+                out = model.apply(variables, images)
             return extract_keypoints(
                 out.score, out.descriptors, out.stability,
                 max_keypoints=k, conf_threshold=0.001,

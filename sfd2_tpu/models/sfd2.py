@@ -82,8 +82,11 @@ class _ResSegBase(nn.Module):
         x: jax.Array,
         train: bool = False,
         training_outputs: bool = False,
+        from_out1c: bool = False,
     ) -> DetectionOutput:
-        """Forward pass. `x` is [B, H, W, 3] (ImageNet-normalised).
+        """Forward pass. `x` is [B, H, W, 3] (ImageNet-normalised), or —
+        with `from_out1c=True` — the [B, H/2, W/2, 64] post-stem
+        activation produced by the fused s2d stem (ops/stem.py).
 
         `training_outputs=True` additionally returns the normalised semi
         map, the softmaxed stability logits and intermediate encoder
@@ -91,11 +94,19 @@ class _ResSegBase(nn.Module):
         including score ×= stability-value folding.
         """
         dt = self.dtype
-        out1a = ConvUnit(64, dtype=dt, name="conv1a")(x, train)
-        out1b = ConvUnit(64, stride=2, use_bn=False, relu=False, dtype=dt, name="conv1b")(
-            out1a, train
-        )
-        out1c = BNRelu(dtype=dt, name="bn1b")(out1b, train)
+        if from_out1c:
+            # Fused-stem entry (forward_from_out1c): `x` is already the
+            # post-stem out1c activation at 1/2 res; the stem submodules
+            # are simply not touched (their params stay unused).
+            out1c = x
+            full_size = (x.shape[1] * 2, x.shape[2] * 2)
+        else:
+            out1a = ConvUnit(64, dtype=dt, name="conv1a")(x, train)
+            out1b = ConvUnit(
+                64, stride=2, use_bn=False, relu=False, dtype=dt, name="conv1b"
+            )(out1a, train)
+            out1c = BNRelu(dtype=dt, name="bn1b")(out1b, train)
+            full_size = (x.shape[1], x.shape[2])
 
         out2a = ConvUnit(128, dtype=dt, name="conv2a")(out1c, train)
         out2b = ConvUnit(128, stride=2, use_bn=False, relu=False, dtype=dt, name="conv2b")(
@@ -134,7 +145,7 @@ class _ResSegBase(nn.Module):
             )(out4)
             sta = sta.astype(jnp.float32)
             stability, sta_soft = self._sta_maps(
-                sta, (x.shape[1], x.shape[2]), training_outputs
+                sta, full_size, training_outputs
             )
             if training_outputs and self._fold_stability_into_score:
                 score = score * stability
@@ -156,6 +167,16 @@ class _ResSegBase(nn.Module):
         """Inference entry: (score, stability, desc) — ``nets/sfd2.py:313``."""
         out = self.apply(params, x, train=train)
         return out.score, out.stability, out.descriptors
+
+    def forward_from_out1c(
+        self, out1c: jax.Array, training_outputs: bool = False
+    ) -> DetectionOutput:
+        """Inference forward starting from the post-stem activation —
+        pair with ops/stem.py::fused_stem_apply:
+        ``model.apply(vars, fused_stem_apply(x, packed, dt),
+        method=model.forward_from_out1c)``."""
+        return self(out1c, train=False, training_outputs=training_outputs,
+                    from_out1c=True)
 
 
 class ResSegNetV2(_ResSegBase):

@@ -57,6 +57,11 @@ class ExtractionConfig:
     #                     extra rounding); off on CPU. Score ranking can
     #                     shift on near-ties — pass False for bit-exact
     #                     recall-parity validation runs.
+    fused_stem: bool | None = None  # fused s2d stem (ops/stem.py): the
+    #                     3-channel conv1a never runs at full resolution.
+    #                     None = follow bf16: the fold reorders summations
+    #                     (float-exact zeros, ~1e-6 f32 deltas), so it
+    #                     rides the same "bf16=False → bit-exact" contract.
     as_half: bool = False  # store descriptors as float16 (hloc as_half)
 
 
@@ -196,6 +201,18 @@ class Extractor:
             )
         self.model = model or ResSegNetV2(require_stability=True)
         self.variables = variables
+        if config.fused_stem is None:
+            config = dataclasses.replace(config, fused_stem=bool(config.bf16))
+        self._packed_stem = None
+        if config.fused_stem and hasattr(self.model, "forward_from_out1c"):
+            try:
+                from sfd2_tpu.ops.stem import repack_stem_params
+
+                self._packed_stem = repack_stem_params(
+                    variables["params"], variables["batch_stats"]
+                )
+            except (KeyError, TypeError):  # non-ResSegNet parameter tree
+                self._packed_stem = None
         self.cfg = config
         self._programs: Dict[Tuple[int, int, int], callable] = {}
 
@@ -203,6 +220,8 @@ class Extractor:
         key = (shape, with_labels)
         if key not in self._programs:
             cfg = self.cfg
+            packed_stem = self._packed_stem
+            stem_dt = jnp.bfloat16 if cfg.bf16 else jnp.float32
 
             @jax.jit
             def run(variables, images_u8, sizes, label_map=None):
@@ -211,7 +230,15 @@ class Extractor:
                 # bottleneck behind a high-latency relay).
                 images = images_u8.astype(jnp.float32) / 255.0
                 images = (images - jnp.asarray(_RGB_MEAN)) / jnp.asarray(_RGB_STD)
-                out = self.model.apply(variables, images)
+                if packed_stem is not None and images.shape[1] % 2 == 0 \
+                        and images.shape[2] % 2 == 0:
+                    from sfd2_tpu.ops.stem import fused_stem_apply
+
+                    out1c = fused_stem_apply(images, packed_stem, stem_dt)
+                    out = self.model.apply(
+                        variables, out1c, method=self.model.forward_from_out1c)
+                else:
+                    out = self.model.apply(variables, images)
                 score = out.score
                 h, w = images.shape[1], images.shape[2]
                 if score.shape[1] != h or score.shape[2] != w:

@@ -273,3 +273,30 @@ def test_extract_to_store_bounded_jit_programs(tmp_path, rng):
     # trace per shape bucket.
     for prog in ex._programs.values():
         assert prog._cache_size() == 1
+
+
+def test_fused_stem_extractor_matches_standard(small_extractor, rng):
+    """Extractor(fused_stem=True) keypoints/descriptors match the
+    standard path (the s2d stem is a float-exact repack — ops/stem.py;
+    only summation order differs, so near-tie top-K order may swap on
+    equal scores, hence set-level comparison with tight numerics)."""
+    img = rng.random((96, 120, 3)).astype(np.float32)
+    std = small_extractor.extract_batch([img])[0]
+    cfg_f = ExtractionConfig(
+        max_keypoints=256, conf_threshold=1e-5, resize_max=128,
+        pad_multiple=32, batch_size=2, fused_stem=True,
+    )
+    fused_ex = Extractor(small_extractor.variables, cfg_f,
+                         model=small_extractor.model)
+    assert fused_ex._packed_stem is not None
+    fused = fused_ex.extract_batch([img])[0]
+    assert len(fused.keypoints) == len(std.keypoints)
+    # Match keypoints by position (order can differ on exact ties).
+    order_s = np.lexsort(std.keypoints.T)
+    order_f = np.lexsort(fused.keypoints.T)
+    np.testing.assert_allclose(
+        fused.keypoints[order_f], std.keypoints[order_s], atol=1e-3)
+    np.testing.assert_allclose(
+        fused.scores[order_f], std.scores[order_s], atol=1e-4)
+    np.testing.assert_allclose(
+        fused.descriptors[order_f], std.descriptors[order_s], atol=1e-3)
