@@ -182,22 +182,29 @@ class LocalizationEngine:
         # The query is broadcast against the bank IN-GRAPH: uploading a
         # host-materialised [D, K, C] broadcast copies the query D times
         # over the wire.
+        # Matches are fetched as int16 when K fits (-1 sentinel and
+        # indices < 32768): a [64, 4096] match table is 0.5 MB instead of
+        # 2 MB per query through the relay — the largest device→host
+        # transfer on the query path.
+        fetch_dt = jnp.int16 if self.cfg.max_keypoints < 32768 else jnp.int32
         matcher = self._matcher
         if self._label_aware:
             def _mq(q, bank, qv, bv, ql, bl):
                 d = bank.shape[0]
-                return matcher(
+                m, s = matcher(
                     jnp.broadcast_to(q[None], (d, *q.shape)), bank,
                     jnp.broadcast_to(qv[None], (d, qv.shape[0])), bv,
                     jnp.broadcast_to(ql[None], (d, ql.shape[0])), bl,
                 )
+                return m.astype(fetch_dt), s
         else:
             def _mq(q, bank, qv, bv):
                 d = bank.shape[0]
-                return matcher(
+                m, s = matcher(
                     jnp.broadcast_to(q[None], (d, *q.shape)), bank,
                     jnp.broadcast_to(qv[None], (d, qv.shape[0])), bv,
                 )
+                return m.astype(fetch_dt), s
         self._matcher_q = jax.jit(_mq)
 
     # ------------------------------------------------------------------
@@ -300,7 +307,7 @@ class LocalizationEngine:
         if self._label_aware:
             args += [jnp.asarray(ql), jnp.stack([e[2] for e in entries])]
         matches, _ = self._matcher_q(*args)
-        return np.asarray(matches)[: len(db_ids)]
+        return np.asarray(matches)[: len(db_ids)].astype(np.int64)
 
     # ------------------------------------------------------------------
     def _assemble_2d3d(
