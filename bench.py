@@ -220,7 +220,8 @@ def _compose(shared: dict) -> dict:
     for k in ("fused_stem", "kernels_exact", "kernel_deltas", "e2e_query_ms",
               "e2e_recall_025m_2deg", "e2e_recall_05m_5deg",
               "e2e_med_terr_m", "e2e_med_rerr_deg",
-              "e2e_qps_sequential", "e2e_qps_pipelined",
+              "e2e_qps_sequential", "e2e_qps_pipelined", "e2e_qps_batched",
+              "e2e_accept_batched",
               "e2e_pipeline_speedup", "e2e_note", "stage_errors"):
         if shared.get(k) is not None and shared.get(k) != {}:
             out[k] = shared[k]
@@ -691,9 +692,22 @@ def _e2e_localize(shared: dict, quick: bool) -> None:
             pip_qps = len(jobs) / wall_p
             shared["e2e_qps_sequential"] = round(seq_qps, 2)
             shared["e2e_qps_pipelined"] = round(pip_qps, 2)
+            shared["result"] = _compose(shared)
+            # Batched throughput mode: every device stage one dispatch
+            # for ALL queries (RTT amortised Q-fold). First call pays its
+            # own jit compiles (batched PnP/refine programs at the full-Q
+            # buckets), so warm with the full job list, then time.
+            eng.localize_throughput(jobs)
+            t0 = time.perf_counter()
+            results_b = eng.localize_throughput(jobs)
+            wall_b = time.perf_counter() - t0
+            bat_qps = len(jobs) / wall_b
+            shared["e2e_qps_batched"] = round(bat_qps, 2)
             shared["e2e_pipeline_speedup"] = round(
-                pip_qps / seq_qps, 2) if seq_qps else 0.0
+                max(pip_qps, bat_qps) / seq_qps, 2) if seq_qps else 0.0
             acc_p = sum(r.source == "accepted" for r in results_p)
+            acc_b = sum(r.source == "accepted" for r in results_b)
+            shared["e2e_accept_batched"] = f"{acc_b}/{len(jobs)}"
         shared["e2e_note"] = (
             f"median wall-clock over {len(per_q)} queries ({n_img}-img map"
             f"{', PRODUCTION 4096kp/50-frame shapes' if production else ''}, "

@@ -89,6 +89,50 @@ def _packed_refine(iters: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _packed_pnp_batch(num_hypotheses: int):
+    """vmapped packed PnP: every still-active query's RANSAC in ONE
+    dispatch (localize_throughput)."""
+
+    @jax.jit
+    def f(kp, p3, cam8, va, thresh, keys):
+        def one(kp, p3, cam8, va, key):
+            res = pnp_ransac(kp, p3, cam8, va, threshold=thresh, key=key,
+                             num_hypotheses=num_hypotheses)
+            return jnp.concatenate([
+                res.qvec.astype(jnp.float32),
+                res.tvec.astype(jnp.float32),
+                jnp.stack([res.num_inliers.astype(jnp.float32),
+                           res.success.astype(jnp.float32)]),
+                res.inliers.astype(jnp.float32),
+            ])
+
+        return jax.vmap(one)(kp, p3, cam8, va, keys)
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_refine_batch(iters: int):
+    from sfd2_tpu.localization.pnp import refine_pose_iterative
+
+    @jax.jit
+    def f(qvec, tvec, p3, kp, cam8, ms, thresh):
+        def one(qvec, tvec, p3, kp, cam8, ms):
+            q_r, t_r, num_r, nums = refine_pose_iterative(
+                qvec, tvec, p3, kp, cam8, ms, thresh, iters=iters)
+            return jnp.concatenate([
+                q_r.astype(jnp.float32),
+                t_r.astype(jnp.float32),
+                jnp.stack([num_r.astype(jnp.float32)]),
+                nums.astype(jnp.float32),
+            ])
+
+        return jax.vmap(one)(qvec, tvec, p3, kp, cam8, ms)
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
 def _device_prng(seed: int):
     """Device-resident PRNGKey per seed (a host-made key re-uploads ~1 ms
     through the relay on every call)."""
@@ -588,6 +632,277 @@ class LocalizationEngine:
         return QueryResult(
             np.array(top.qvec), np.array(top.tvec), -1, log, source="retrieval_fallback"
         )
+
+    # ------------------------------------------------------------------
+    def _batched_match(self, q_feats_dev: List[tuple],
+                       banks_per_q: List[List[int]]) -> np.ndarray:
+        """One matcher dispatch for several queries: query i vs its
+        padded bank group. Returns matches [Q, D, K] (np, −1 sentinel).
+        The flattened (query, bank) axis is bucketed like everything
+        else so the jit cache stays bounded."""
+        k = self.cfg.max_keypoints
+        q0 = q_feats_dev[0][0]
+        c = q0.shape[1]
+        d = max(len(b) for b in banks_per_q)
+        n_flat = _bucket(len(banks_per_q) * d)
+        zero = self._dev_zero(c)
+        descs, vals, labs = [], [], []
+        for banks in banks_per_q:
+            entries = [self._db_feats_dev(i) for i in banks]
+            entries += [zero] * (d - len(banks))
+            descs += [e[0] for e in entries]
+            vals += [e[1] for e in entries]
+            labs += [e[2] for e in entries]
+        pad = n_flat - len(descs)
+        descs += [zero[0]] * pad
+        vals += [zero[1]] * pad
+        bank = jnp.stack(descs)
+        bval = jnp.stack(vals)
+        qs = jnp.repeat(jnp.stack([qf[0] for qf in q_feats_dev]), d, axis=0)
+        qv = jnp.repeat(jnp.stack([qf[1] for qf in q_feats_dev]), d, axis=0)
+        qpad = n_flat - qs.shape[0]
+        if qpad:
+            qs = jnp.concatenate([qs, jnp.zeros((qpad, k, c), qs.dtype)])
+            qv = jnp.concatenate([qv, jnp.zeros((qpad, k), bool)])
+        args = [qs, bank, qv, bval]
+        if self._label_aware:
+            labs += [zero[2]] * pad
+            ql = jnp.repeat(
+                jnp.stack([qf[2] for qf in q_feats_dev]), d, axis=0)
+            if qpad:
+                ql = jnp.concatenate(
+                    [ql, jnp.zeros((qpad, k), jnp.int32)])
+            args += [ql, jnp.stack(labs)]
+        m, _ = self._matcher(*args)
+        fetch_dt = jnp.int16 if k < 32768 else jnp.int32
+        m = np.asarray(m.astype(fetch_dt)).astype(np.int64)
+        return m[: len(banks_per_q) * d].reshape(len(banks_per_q), d, k)
+
+    def _batched_pnp(self, items: List[tuple], thresh: float,
+                     seed_base: int):
+        """items: [(mkpq, mp3d, cam8)] → ONE vmapped PnP dispatch.
+        Returns [(qvec, tvec, inliers, num, success)] per item."""
+        n_pad = self._pad_bucket(max(len(it[0]) for it in items))
+        qp = _bucket(len(items))
+        kp = np.zeros((qp, n_pad, 2), np.float32)
+        p3 = np.zeros((qp, n_pad, 3), np.float32)
+        va = np.zeros((qp, n_pad), bool)
+        cams = np.zeros((qp, 8), np.float32)
+        for i, (mkpq, mp3d, cam8) in enumerate(items):
+            n = len(mkpq)
+            kp[i, :n], p3[i, :n], va[i, :n] = mkpq, mp3d, True
+            cams[i] = np.asarray(cam8, np.float32).reshape(8)
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            _device_prng(seed_base), jnp.arange(qp))
+        out = np.asarray(_packed_pnp_batch(self.cfg.num_hypotheses)(
+            jnp.asarray(kp), jnp.asarray(p3), jnp.asarray(cams),
+            jnp.asarray(va), jnp.float32(thresh), keys,
+        ))  # [qp, 9 + n_pad]
+        res = []
+        for i, (mkpq, _, _) in enumerate(items):
+            n = len(mkpq)
+            res.append((
+                out[i, :4].astype(np.float64),
+                out[i, 4:7].astype(np.float64),
+                out[i, 9:9 + n] > 0.5,
+                int(out[i, 7]),
+                bool(out[i, 8] > 0.5),
+            ))
+        return res
+
+    def localize_throughput(
+        self,
+        jobs: Sequence[Tuple[str, tuple, Sequence[Sequence[int]]]],
+    ) -> List[QueryResult]:
+        """Batched-across-queries localization: identical per-query
+        gates/fallbacks to `localize`, but every device stage (matching,
+        PnP-RANSAC, LM refinement) runs ONE dispatch for ALL still-active
+        queries, so the per-dispatch relay RTT and launch overhead are
+        amortised Q-fold instead of paid per query. Cluster rounds
+        proceed in lockstep: round ci matches every remaining query's
+        ci-th cluster; queries accept/drop out independently. The
+        covisibility refinement pool is likewise matched/refined in one
+        dispatch per stage. This is the serving-throughput path the
+        reference cannot express (its per-query loop is inherently
+        sequential, localize_cv2.py:652)."""
+        cfg = self.cfg
+        n = len(jobs)
+        state = []
+        for qi, (qname, qinfo, clusters) in enumerate(jobs):
+            model, width, height, params = qinfo
+            cam8 = canonicalize_params(model, params)
+            k = cfg.max_keypoints
+            with self._cache_lock:
+                kpq, q_desc, _, q_valid, q_labels = self.features.read_padded(
+                    qname, k, with_labels=True)
+            q_dev = (jnp.asarray(q_desc), jnp.asarray(q_valid),
+                     jnp.asarray(q_labels) if self._label_aware and
+                     q_labels is not None else None)
+            state.append({
+                "qname": qname, "cam8": cam8, "kpq": kpq, "q_dev": q_dev,
+                "clusters": [c for c in clusters if c], "log": "",
+                "best": {"num_inliers": 0, "qvec": None, "tvec": None,
+                         "db_id": None},
+                "result": None, "refine": None,
+            })
+
+        max_rounds = max((len(s["clusters"]) for s in state), default=0)
+        for ci in range(max_rounds):
+            active = [s for s in state
+                      if s["result"] is None and s["refine"] is None
+                      and ci < len(s["clusters"])]
+            if not active:
+                break
+            matches = self._batched_match(
+                [s["q_dev"] for s in active],
+                [s["clusters"][ci] for s in active])
+            pnp_items, pnp_ctx = [], []
+            for s, m in zip(active, matches):
+                cluster = s["clusters"][ci]
+                mp3d, mkpq, p3d_rows, q_ids, per_db = self._assemble_2d3d(
+                    s["kpq"], m[: len(cluster)], cluster, obs_th=3, dedup={})
+                if len(mp3d) < 8:
+                    s["log"] += f"cluster {ci}: only {len(mp3d)} matches, skip\n"
+                    continue
+                pnp_items.append((mkpq, mp3d, s["cam8"]))
+                pnp_ctx.append((s, per_db, p3d_rows, q_ids, cluster))
+            if not pnp_items:
+                continue
+            results = self._batched_pnp(pnp_items, cfg.ransac_thresh,
+                                        seed_base=1000 + ci)
+            for (s, per_db, p3d_rows, q_ids, cluster), \
+                    (qv, tv, inliers, num, success) in zip(pnp_ctx, results):
+                if not success:
+                    s["log"] += f"cluster {ci}: PnP failed\n"
+                    continue
+                assign = np.full(cfg.max_keypoints, -2, np.int64)
+                inl_idx = np.nonzero(inliers)[0]
+                assign[q_ids[inl_idx]] = p3d_rows[inl_idx]
+                best_single, best_db = -1, cluster[0]
+                for iid, recs in per_db.items():
+                    nh = int(np.sum(assign[recs[:, 0]] == recs[:, 1])) \
+                        if len(recs) else 0
+                    if nh > best_single:
+                        best_single, best_db = nh, iid
+                b = s["best"]
+                if best_single >= 8 and num > b["num_inliers"]:
+                    b.update(num_inliers=num, qvec=qv, tvec=tv, db_id=best_db)
+                if num < cfg.inlier_thresh or best_single < 10:
+                    s["log"] += f"cluster {ci}: weak ({best_single}/{num} inliers)\n"
+                    continue
+                s["log"] += f"cluster {ci}: accepted ({best_single}/{num} inliers)\n"
+                s["refine"] = (best_db, qv, tv, "accepted")
+
+        # Exhausted queries: best-single-image fallback joins the refine
+        # pool; the rest take the retrieval fallback (localize():556-569).
+        for s in state:
+            if s["result"] is not None or s["refine"] is not None:
+                continue
+            b = s["best"]
+            if b["num_inliers"] >= 10:
+                s["refine"] = (b["db_id"], b["qvec"], b["tvec"],
+                               "best_fallback")
+            else:
+                top = self.map.images[s["clusters"][0][0]]
+                s["log"] += f"failed; using pose of {top.name}\n"
+                s["result"] = QueryResult(
+                    np.array(top.qvec), np.array(top.tvec), -1, s["log"],
+                    source="retrieval_fallback")
+
+        # --- batched covisibility refinement ----------------------------
+        pool = [s for s in state if s["refine"] is not None]
+        if cfg.do_covisibility_opt and "clu" in cfg.opt_type and pool:
+            self._refine_pool(pool)
+        for s in pool:
+            if s["result"] is None:  # refinement opted out / kept pose
+                _, qv, tv, src = s["refine"]
+                s["result"] = QueryResult(qv, tv, s["best"]["num_inliers"],
+                                          s["log"], source=src)
+        return [s["result"] for s in state]
+
+    def _refine_pool(self, pool: List[dict]) -> None:
+        """pose_refinement_covisibility for a pool of accepted queries,
+        each stage one dispatch (matcher → PnP → iterative LM)."""
+        cfg = self.cfg
+        banks = []
+        for s in pool:
+            seed_db, qv, tv, _ = s["refine"]
+            if "obs" in cfg.opt_type:
+                ids = self.map.covis_frames_obs(
+                    seed_db, covisibility_frame=cfg.covisibility_frame,
+                    obs_th=cfg.obs_thresh, pred_qvec=qv, pred_tvec=tv)
+            else:
+                ids = self.map.covis_frames_pose(
+                    seed_db, qv, tv,
+                    covisibility_frame=cfg.covisibility_frame,
+                    q_th=10.0, t_th=10.0, obs_th=cfg.obs_thresh)
+            banks.append(list(ids))
+        matches = self._batched_match([s["q_dev"] for s in pool], banks)
+
+        pnp_items, ctx = [], []
+        for s, m, ids in zip(pool, matches, banks):
+            _, qv, tv, src = s["refine"]
+            mp3d, mkpq, _, _, _ = self._assemble_2d3d(
+                s["kpq"], m[: len(ids)], ids, cfg.obs_thresh, dedup={},
+                gate_pose=(qv, tv), cam8=s["cam8"], radius=cfg.radius)
+            s["log"] += f"covis refine: {len(ids)} frames, {len(mkpq)} matches\n"
+            if len(mkpq) < 6:
+                s["result"] = QueryResult(
+                    qv, tv, s["best"]["num_inliers"],
+                    s["log"] + "too few matches, keep pose\n", source=src)
+                continue
+            pnp_items.append((mkpq, mp3d, s["cam8"]))
+            ctx.append((s, mkpq, mp3d, src))
+        if not pnp_items:
+            return
+        results = self._batched_pnp(pnp_items, cfg.opt_thresh, seed_base=77)
+
+        lm_items, lm_ctx = [], []
+        for (s, mkpq, mp3d, src), (qv, tv, inl, num, success) in zip(ctx, results):
+            _, qv0, tv0, _ = s["refine"]
+            if not success:
+                s["result"] = QueryResult(
+                    qv0, tv0, s["best"]["num_inliers"],
+                    s["log"] + "refinement RANSAC failed, keep pose\n",
+                    source=src)
+                continue
+            if "ref" in cfg.opt_type and inl.sum() >= 10:
+                lm_items.append((qv, tv, mkpq, mp3d, inl, s["cam8"]))
+                lm_ctx.append((s, num, src))
+            else:
+                s["result"] = QueryResult(qv, tv, num, s["log"], source=src)
+        if not lm_items:
+            return
+        n_pad = self._pad_bucket(max(len(it[2]) for it in lm_items))
+        qp = _bucket(len(lm_items))
+        qv_a = np.zeros((qp, 4), np.float32)
+        tv_a = np.zeros((qp, 3), np.float32)
+        qv_a[:, 0] = 1.0
+        p3 = np.zeros((qp, n_pad, 3), np.float32)
+        kp = np.zeros((qp, n_pad, 2), np.float32)
+        ms = np.zeros((qp, n_pad), bool)
+        cams = np.zeros((qp, 8), np.float32)
+        cams[:, :2] = 1.0  # benign padding camera (fx=fy=1)
+        for i, (qv, tv, mkpq, mp3d, inl, cam8) in enumerate(lm_items):
+            nmatch = len(mkpq)
+            qv_a[i], tv_a[i] = qv, tv
+            p3[i, :nmatch], kp[i, :nmatch], ms[i, :nmatch] = mp3d, mkpq, inl
+            cams[i] = np.asarray(cam8, np.float32).reshape(8)
+        out = np.asarray(_packed_refine_batch(cfg.iters)(
+            jnp.asarray(qv_a), jnp.asarray(tv_a), jnp.asarray(p3),
+            jnp.asarray(kp), jnp.asarray(cams), jnp.asarray(ms),
+            jnp.float32(cfg.opt_thresh),
+        ))
+        for i, (s, num, src) in enumerate(lm_ctx):
+            qv, tv = lm_items[i][0], lm_items[i][1]
+            if int(out[i, 7]) > 0:
+                qv = out[i, :4].astype(np.float64)
+                tv = out[i, 4:7].astype(np.float64)
+                num = int(out[i, 7])
+            for it, n_it in enumerate(out[i, 8:8 + cfg.iters]):
+                if n_it >= 0:
+                    s["log"] += f"iter {it+1}: {int(n_it)} inliers\n"
+            s["result"] = QueryResult(qv, tv, num, s["log"], source=src)
 
     # ------------------------------------------------------------------
     def localize_many(

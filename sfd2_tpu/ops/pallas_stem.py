@@ -1,0 +1,212 @@
+"""Pallas fused s2d stem kernel (TPU) — the encoder entry at MXU rates.
+
+Capability parity: the same stem contract as ops/stem.py (``nets/
+sfd2.py:268-272``): conv1a(3→64, 3×3) → bn1a → relu → conv1b(64→64,
+3×3, s2) → bn1b → relu, computed on the stride-2 grid via the
+space-to-depth repack (see ops/stem.py for the index algebra).
+
+Why a kernel: measured on the v5e (scripts/bench_stem_split.py), the
+XLA lowering of the repacked convs runs at ~53 TF/s effective and the
+s2d transpose alone costs 0.27 ms/img — together 1.20 ms/img of the
+5.8 ms extract. The kernel removes both:
+
+* the host (or caller) supplies the input already packed as C-major
+  s2d plane rows [B, Hp, 12, W'] — same bytes over the wire, zero
+  device-side transpose;
+* stage A (conv1a, all four phase planes) builds a [144, W'] im2col
+  patch per out1a row IN VMEM — rows are (tap, plane) groups written
+  as lane-aligned [12, W'] blocks with pltpu.roll for the ±1 column
+  taps — and hits the MXU as one [256,144]×[144,W'] GEMM per row;
+* stage B (conv1b) consumes stage A's rows straight from VMEM scratch
+  (the full-res activation never exists in HBM) as 4 accumulated
+  [64,256]×[256,W'] GEMMs (full-width contraction);
+* biases + both affine-free BNs are pre-folded (PackedStem), ReLUs and
+  the NHWC transpose ride the epilogue.
+
+Layout requirements: W' % 128 == 0, H' % 16 == 0 (callers pad; the
+extraction pipeline's bucket padding guarantees it).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sfd2_tpu.ops.stem import PackedStem
+
+_HB = 16  # out1c rows per grid step
+_PAD_TOP = 2  # x2 plane rows of zero padding above row 0 (halo)
+_PAD_BOT = 6  # below row H'-1: block DMA reads [16i, 16i+24)
+
+
+class StemWeights:
+    """Kernel-shaped constants derived from a PackedStem (f32 math).
+
+    dtype note: Mosaic's lane rotate (the conv column taps) only exists
+    for 32-bit data, so the kernel computes in f32 throughout — free on
+    this TPU generation, where f32 GEMMs already run at bf16 MXU
+    precision/rate (XLA --xla_allow_excess_precision); bf16 would only
+    have cut VMEM copy traffic."""
+
+    def __init__(self, packed: PackedStem, dtype=jnp.float32):
+        w1 = jnp.asarray(packed.w1, jnp.float32)  # [3,3,12,256]
+        # w1k[co, 16*(dy*3+dx) + ci] — plane groups padded 12→16 so every
+        # patch write lands at a 16-sublane tile boundary (bf16 tiling).
+        w1k = jnp.zeros((256, 144), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                tap = dy * 3 + dx
+                w1k = w1k.at[:, tap * 16:tap * 16 + 12].set(w1[dy, dx].T)
+        w2 = jnp.asarray(packed.w2, jnp.float32)  # [2,2,256,64]
+        w2k = jnp.stack([w2[t // 2, t % 2].T for t in range(4)])  # [4,64,256]
+        self.w1k = w1k.astype(dtype)
+        self.w2k = w2k.astype(dtype)
+        self.b1 = jnp.asarray(packed.b1, jnp.float32).reshape(256, 1)
+        self.b2 = jnp.asarray(packed.b2, jnp.float32).reshape(64, 1)
+
+
+def pack_s2d_plane_rows(x: jax.Array) -> jax.Array:
+    """[B, H, W, C(=3)] → [B, Hp, 4C, W/2] s2d plane-row layout with the
+    kernel's halo padding. Plane (p·2+q)·C + c holds pixel (2y+p, 2x+q, c).
+    Host-side callers should build this layout directly in numpy (free
+    next to the upload); this jnp version serves tests/bench."""
+    b, h, w, c = x.shape
+    x2 = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x2 = jnp.transpose(x2, (0, 1, 2, 4, 5, 3))  # [B,H',p,q,c,W']
+    x2 = x2.reshape(b, h // 2, 4 * c, w // 2)
+    return jnp.pad(x2, ((0, 0), (_PAD_TOP, _PAD_BOT), (0, 0), (0, 0)))
+
+
+def _roll_cols(v: jax.Array, dx: int) -> jax.Array:
+    """Value at column x+dx−1 with zero fill (conv column taps);
+    pltpu.roll only takes non-negative (circular) shifts."""
+    shift = 1 - dx
+    if shift == 0:
+        return v
+    wp = v.shape[1]
+    r = pltpu.roll(v, shift=shift % wp, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    if shift > 0:  # columns [0, shift) came from the wrap — zero them
+        return jnp.where(col < shift, 0, r)
+    return jnp.where(col >= wp + shift, 0, r)
+
+
+def _stem_kernel(x2_hbm, w1_ref, w2_ref, b1_ref, b2_ref, out_ref,
+                 slab, patch, a_rows, sem, *, wp: int):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    # Input slab: 24 padded plane-rows [24, 12, W'] starting at row 16i
+    # (covers the halo [16i, 16i+19) of this block's 17 out1a rows).
+    cp = pltpu.make_async_copy(
+        x2_hbm.at[b, pl.ds(i * _HB, 24)], slab, sem)
+    cp.start()
+    cp.wait()
+
+    patch[...] = jnp.zeros(patch.shape, patch.dtype)  # pad rows ≡ 0, not junk
+
+    # Stage A: out1a s2d rows a = 0..16 (absolute out row 16i−1+a).
+    def stage_a(a, _):
+        for dy in range(3):
+            src = slab[a + dy]  # [12, W'] padded plane row
+            for dx in range(3):
+                tap = dy * 3 + dx
+                patch[pl.ds(tap * 16, 12), :] = _roll_cols(src, dx)
+        acc = jax.lax.dot_general(
+            w1_ref[...], patch[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [256, W']
+        a_rows[a] = jnp.maximum(acc + b1_ref[...], 0.0).astype(a_rows.dtype)
+        return _
+
+    jax.lax.fori_loop(0, _HB + 1, stage_a, 0)
+
+    # a_rows[0] of the first block is out1a row −1 — conv1b's ZERO
+    # padding, not a computed row (bias/BN/relu would make it nonzero).
+    @pl.when(i == 0)
+    def _zero_top():
+        a_rows[0] = jnp.zeros(a_rows.shape[1:], a_rows.dtype)
+
+    # Stage B: out rows r = 0..15; out[y'] needs A rows y'−1, y' →
+    # a = r, r+1; column taps dxB ∈ {0,1} → x'+dxB−1.
+    def stage_b(r, _):
+        acc = jnp.zeros((64, wp), jnp.float32)
+        for dyB in range(2):
+            src = a_rows[r + dyB]  # [256, W']
+            for dxB in range(2):
+                acc += jax.lax.dot_general(
+                    w2_ref[dyB * 2 + dxB], _roll_cols(src, dxB),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        row = jnp.maximum(acc + b2_ref[...], 0.0)
+        out_ref[0, r] = row.T.astype(out_ref.dtype)  # [W', 64]
+        return _
+
+    jax.lax.fori_loop(0, _HB, stage_b, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def fused_stem_pallas(
+    x2_rows: jax.Array,
+    w1k: jax.Array,
+    w2k: jax.Array,
+    b1: jax.Array,
+    b2: jax.Array,
+    interpret: bool = False,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """x2_rows: [B, Hp, 12, W'] (pack_s2d_plane_rows layout, normalised,
+    bf16) → out1c [B, H', W', 64] NHWC. W' % 128 == 0, H' % 16 == 0."""
+    b, hp, _, wp = x2_rows.shape
+    h2 = hp - _PAD_TOP - _PAD_BOT
+    assert h2 % _HB == 0 and wp % 128 == 0, (h2, wp)
+    grid = (b, h2 // _HB)
+    return pl.pallas_call(
+        functools.partial(_stem_kernel, wp=wp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((256, 144), lambda bb, ii: (0, 0)),
+            pl.BlockSpec((4, 64, 256), lambda bb, ii: (0, 0, 0)),
+            pl.BlockSpec((256, 1), lambda bb, ii: (0, 0)),
+            pl.BlockSpec((64, 1), lambda bb, ii: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, _HB, wp, 64), lambda bb, ii: (bb, ii, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h2, wp, 64), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((24, 12, wp), x2_rows.dtype),
+            pltpu.VMEM((144, wp), x2_rows.dtype),
+            pltpu.VMEM((_HB + 1, 256, wp), x2_rows.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x2_rows, w1k, w2k, b1, b2)
+
+
+def stem_pallas_apply(
+    x: jax.Array, weights: StemWeights, dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Convenience wrapper from standard NHWC input (tests/bench): packs
+    s2d plane rows in-graph, pads W to the kernel's 256-pixel multiple,
+    runs the kernel, and crops. Production callers pack on the host.
+    `dtype` is the OUTPUT dtype; the kernel computes in f32 (see
+    StemWeights)."""
+    b, h, w, _ = x.shape
+    wpad = (-w) % 256
+    if wpad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, wpad), (0, 0)))
+    hpad = (-(h // 2)) % _HB * 2
+    if hpad:
+        x = jnp.pad(x, ((0, 0), (0, hpad), (0, 0), (0, 0)))
+    x2 = pack_s2d_plane_rows(x).astype(jnp.float32)
+    out = fused_stem_pallas(
+        x2, weights.w1k, weights.w2k, weights.b1, weights.b2,
+        interpret=interpret, out_dtype=dtype,
+    )
+    return out[:, : h // 2, : w // 2, :]

@@ -206,3 +206,27 @@ def test_malformed_requests_do_not_kill_server(served_scene):
                    "height": scene.height, "params": scene.cam_params},
     })
     assert code == 200 and res["source"] == "accepted"
+
+
+def test_localize_throughput_matches_sequential(served_scene):
+    """Batched-across-queries mode: same gates, same fallbacks, one
+    device dispatch per stage. Poses must match the sequential loop
+    (identical programs on identical data; only dispatch grouping and
+    RANSAC key derivation differ, so compare by accepted/inlier quality
+    and pose error, not bitwise)."""
+    from sfd2_tpu.geometry.np_pose import pose_error
+
+    scene, service, server, _ = served_scene
+    eng = service.engine
+    jobs = [(qname, scene.qinfo, [[int(i)] for i in near])
+            for qname, _, _, near in scene.queries]
+    seq = [eng.localize(*j) for j in jobs]
+    bat = eng.localize_throughput(jobs)
+    assert len(bat) == len(seq)
+    for (qname, q_gt, t_gt, _), a, b in zip(scene.queries, seq, bat):
+        assert a.source == b.source, (qname, a.source, b.source)
+        if a.source in ("accepted", "best_fallback"):
+            qe, te = pose_error(b.qvec, b.tvec, q_gt, t_gt)
+            assert qe < 0.5 and te < 0.1, (qname, qe, te)
+        else:
+            np.testing.assert_array_equal(a.qvec, b.qvec)
