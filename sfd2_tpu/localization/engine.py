@@ -94,7 +94,10 @@ def _packed_pnp_batch(num_hypotheses: int):
     dispatch (localize_throughput)."""
 
     @jax.jit
-    def f(kp, p3, cam8, va, thresh, keys):
+    def f(kp, p3, cam8, va, thresh, base_key):
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            base_key, jnp.arange(kp.shape[0]))
+
         def one(kp, p3, cam8, va, key):
             res = pnp_ransac(kp, p3, cam8, va, threshold=thresh, key=key,
                              num_hypotheses=num_hypotheses)
@@ -692,11 +695,9 @@ class LocalizationEngine:
             n = len(mkpq)
             kp[i, :n], p3[i, :n], va[i, :n] = mkpq, mp3d, True
             cams[i] = np.asarray(cam8, np.float32).reshape(8)
-        keys = jax.vmap(jax.random.fold_in, (None, 0))(
-            _device_prng(seed_base), jnp.arange(qp))
         out = np.asarray(_packed_pnp_batch(self.cfg.num_hypotheses)(
             jnp.asarray(kp), jnp.asarray(p3), jnp.asarray(cams),
-            jnp.asarray(va), jnp.float32(thresh), keys,
+            jnp.asarray(va), jnp.float32(thresh), _device_prng(seed_base),
         ))  # [qp, 9 + n_pad]
         res = []
         for i, (mkpq, _, _) in enumerate(items):

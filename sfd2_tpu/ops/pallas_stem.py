@@ -11,11 +11,11 @@ s2d transpose alone costs 0.27 ms/img — together 1.20 ms/img of the
 5.8 ms extract. The kernel removes both:
 
 * the host (or caller) supplies the input already packed as C-major
-  s2d plane rows [B, Hp, 12, W'] — same bytes over the wire, zero
+  s2d plane rows [B, Hp, 16, W'] (12 real planes) — same bytes over the wire, zero
   device-side transpose;
 * stage A (conv1a, all four phase planes) builds a [144, W'] im2col
   patch per out1a row IN VMEM — rows are (tap, plane) groups written
-  as lane-aligned [12, W'] blocks with pltpu.roll for the ±1 column
+  as lane-aligned [16, W'] blocks with pltpu.roll for the ±1 column
   taps — and hits the MXU as one [256,144]×[144,W'] GEMM per row;
 * stage B (conv1b) consumes stage A's rows straight from VMEM scratch
   (the full-res activation never exists in HBM) as 4 accumulated
@@ -70,15 +70,18 @@ class StemWeights:
 
 
 def pack_s2d_plane_rows(x: jax.Array) -> jax.Array:
-    """[B, H, W, C(=3)] → [B, Hp, 4C, W/2] s2d plane-row layout with the
-    kernel's halo padding. Plane (p·2+q)·C + c holds pixel (2y+p, 2x+q, c).
-    Host-side callers should build this layout directly in numpy (free
-    next to the upload); this jnp version serves tests/bench."""
+    """[B, H, W, C(=3)] → [B, Hp, 16, W/2] s2d plane-row layout with the
+    kernel's halo padding. Plane (p·2+q)·C + c holds pixel (2y+p, 2x+q, c);
+    planes 12-15 are zeros (the plane dim is padded to the 8-sublane DMA
+    tiling; the matching w1k rows are zero). Host-side callers should
+    build this layout directly in numpy (free next to the upload); this
+    jnp version serves tests/bench."""
     b, h, w, c = x.shape
     x2 = x.reshape(b, h // 2, 2, w // 2, 2, c)
     x2 = jnp.transpose(x2, (0, 1, 2, 4, 5, 3))  # [B,H',p,q,c,W']
     x2 = x2.reshape(b, h // 2, 4 * c, w // 2)
-    return jnp.pad(x2, ((0, 0), (_PAD_TOP, _PAD_BOT), (0, 0), (0, 0)))
+    return jnp.pad(
+        x2, ((0, 0), (_PAD_TOP, _PAD_BOT), (0, 16 - 4 * c), (0, 0)))
 
 
 def _roll_cols(v: jax.Array, dx: int) -> jax.Array:
@@ -100,22 +103,20 @@ def _stem_kernel(x2_hbm, w1_ref, w2_ref, b1_ref, b2_ref, out_ref,
     b = pl.program_id(0)
     i = pl.program_id(1)
 
-    # Input slab: 24 padded plane-rows [24, 12, W'] starting at row 16i
+    # Input slab: 24 padded plane-rows [24, 16, W'] starting at row 16i
     # (covers the halo [16i, 16i+19) of this block's 17 out1a rows).
     cp = pltpu.make_async_copy(
         x2_hbm.at[b, pl.ds(i * _HB, 24)], slab, sem)
     cp.start()
     cp.wait()
 
-    patch[...] = jnp.zeros(patch.shape, patch.dtype)  # pad rows ≡ 0, not junk
-
     # Stage A: out1a s2d rows a = 0..16 (absolute out row 16i−1+a).
     def stage_a(a, _):
         for dy in range(3):
-            src = slab[a + dy]  # [12, W'] padded plane row
+            src = slab[a + dy]  # [16, W'] padded plane row (12 real)
             for dx in range(3):
                 tap = dy * 3 + dx
-                patch[pl.ds(tap * 16, 12), :] = _roll_cols(src, dx)
+                patch[pl.ds(tap * 16, 16), :] = _roll_cols(src, dx)
         acc = jax.lax.dot_general(
             w1_ref[...], patch[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -160,8 +161,8 @@ def fused_stem_pallas(
     interpret: bool = False,
     out_dtype=jnp.bfloat16,
 ) -> jax.Array:
-    """x2_rows: [B, Hp, 12, W'] (pack_s2d_plane_rows layout, normalised,
-    bf16) → out1c [B, H', W', 64] NHWC. W' % 128 == 0, H' % 16 == 0."""
+    """x2_rows: [B, Hp, 16, W'] (pack_s2d_plane_rows layout, normalised,
+    f32) → out1c [B, H', W', 64] NHWC. W' % 128 == 0, H' % 16 == 0."""
     b, hp, _, wp = x2_rows.shape
     h2 = hp - _PAD_TOP - _PAD_BOT
     assert h2 % _HB == 0 and wp % 128 == 0, (h2, wp)
@@ -179,7 +180,7 @@ def fused_stem_pallas(
         out_specs=pl.BlockSpec((1, _HB, wp, 64), lambda bb, ii: (bb, ii, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h2, wp, 64), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((24, 12, wp), x2_rows.dtype),
+            pltpu.VMEM((24, 16, wp), x2_rows.dtype),
             pltpu.VMEM((144, wp), x2_rows.dtype),
             pltpu.VMEM((_HB + 1, 256, wp), x2_rows.dtype),
             pltpu.SemaphoreType.DMA,

@@ -46,7 +46,8 @@ def _random_packed(key) -> PackedStem:
 def test_pack_s2d_plane_rows_layout():
     x = jnp.arange(1 * 8 * 8 * 3, dtype=jnp.float32).reshape(1, 8, 8, 3)
     rows = pack_s2d_plane_rows(x)
-    assert rows.shape == (1, 4 + 2 + 6, 12, 4)
+    assert rows.shape == (1, 4 + 2 + 6, 16, 4)
+    np.testing.assert_array_equal(rows[:, :, 12:], 0)  # plane pad
     np.testing.assert_array_equal(rows[:, :2], 0)  # top halo
     np.testing.assert_array_equal(rows[:, 6:], 0)  # bottom halo
     for p in range(2):
