@@ -333,38 +333,64 @@ def run_bench(shared: dict) -> dict:
     ex_dtype = jnp.bfloat16 if on_tpu else jnp.float32
     model = ResSegNetV2(require_stability=True, dtype=ex_dtype)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32))
-    # Fused s2d stem (ops/stem.py) — the production TPU extraction path:
-    # conv1a never runs at full resolution (VERDICT r3 #1).
-    from sfd2_tpu.ops.stem import fused_stem_apply, repack_stem_params
-
-    packed_stem = repack_stem_params(
-        variables["params"], variables["batch_stats"]) if on_tpu else None
-    shared["fused_stem"] = bool(packed_stem is not None)
+    # Fused s2d stem on TPU — the production extraction path (pipeline/
+    # extract.py stem_backend='pallas'): the HOST packs s2d plane rows
+    # next to the upload (same bytes on the wire), the Pallas kernel
+    # (ops/pallas_stem.py) computes conv1a+conv1b without the
+    # full-resolution activation ever existing. Measured v5e @1024² b8:
+    # 0.534 ms/img vs 1.337 layer-by-layer (VERDICT r3 #1).
+    stem_w = None
     if on_tpu:
+        from sfd2_tpu.ops.pallas_stem import fused_stem_pallas, StemWeights
+        from sfd2_tpu.ops.stem import repack_stem_params
+
+        stem_w = StemWeights(repack_stem_params(
+            variables["params"], variables["batch_stats"]))
         variables = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16)
             if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
             variables,
         )
+    shared["fused_stem"] = "pallas" if stem_w is not None else "off"
 
-    @jax.jit
-    def extract(variables, images):
-        if packed_stem is not None:
-            out1c = fused_stem_apply(images, packed_stem, ex_dtype)
+    def make_extract():
+        @jax.jit
+        def extract_pallas(variables, x2_rows):
+            out1c = fused_stem_pallas(
+                x2_rows, stem_w.w1k, stem_w.w2k, stem_w.b1, stem_w.b2,
+                out_dtype=ex_dtype)
             out = model.apply(variables, out1c,
                               method=model.forward_from_out1c)
-        else:
-            out = model.apply(variables, images)
-        return extract_keypoints(
-            out.score, out.descriptors, out.stability,
-            max_keypoints=k, conf_threshold=0.001,
-        )
+            return extract_keypoints(
+                out.score, out.descriptors, out.stability,
+                max_keypoints=k, conf_threshold=0.001,
+            )
 
-    imgs = jax.random.normal(jax.random.fold_in(key, 3), (ex_batch, h, w, 3), jnp.float32)
+        @jax.jit
+        def extract_std(variables, images):
+            out = model.apply(variables, images)
+            return extract_keypoints(
+                out.score, out.descriptors, out.stability,
+                max_keypoints=k, conf_threshold=0.001,
+            )
+
+        return extract_pallas if stem_w is not None else extract_std
+
+    extract = make_extract()
+
+    if stem_w is not None:
+        # Bench inputs are device-generated; production builds this
+        # layout on the host for free (pipeline/extract.py::_pad_batch).
+        imgs = jax.random.normal(
+            jax.random.fold_in(key, 3),
+            (ex_batch, h // 2 + 8, 16, w // 2), jnp.float32)
+    else:
+        imgs = jax.random.normal(
+            jax.random.fold_in(key, 3), (ex_batch, h, w, 3), jnp.float32)
     # FLOPs + HBM bytes from XLA's own cost analysis of the compiled
     # program (roofline numerators).
     try:
-        cost = jax.jit(extract).lower(variables, imgs).compile().cost_analysis()
+        cost = extract.lower(variables, imgs).compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         shared["extract_flops"] = float(cost.get("flops", 0.0))
@@ -476,13 +502,17 @@ def run_bench(shared: dict) -> dict:
     # cannot cost any headline stage its pass-0 number.
     if on_tpu and not quick:
         shared["phase"] = "compile:extract1600"
-        h16, w16 = 1600, 1200
+        # Pallas stem bucket: W rounds to 256 (pipeline/extract.py
+        # _pad_hw) — Aachen landscape 1600x1200 pads to 1600x1280.
+        h16, w16 = (1600, 1280) if stem_w is not None else (1600, 1200)
         ex16_batch = 8 if on_tpu else 1
 
         @jax.jit
         def extract1600(variables, images):
-            if packed_stem is not None:
-                out1c = fused_stem_apply(images, packed_stem, ex_dtype)
+            if stem_w is not None:
+                out1c = fused_stem_pallas(
+                    images, stem_w.w1k, stem_w.w2k, stem_w.b1, stem_w.b2,
+                    out_dtype=ex_dtype)
                 out = model.apply(variables, out1c,
                                   method=model.forward_from_out1c)
             else:
@@ -492,9 +522,10 @@ def run_bench(shared: dict) -> dict:
                 max_keypoints=k, conf_threshold=0.001,
             )
 
+        shape16 = ((ex16_batch, h16 // 2 + 8, 16, w16 // 2)
+                   if stem_w is not None else (ex16_batch, h16, w16, 3))
         imgs16 = jax.random.normal(
-            jax.random.fold_in(key, 16), (ex16_batch, h16, w16, 3),
-            jnp.float32)
+            jax.random.fold_in(key, 16), shape16, jnp.float32)
         np.asarray(extract1600(variables, imgs16).scores)  # compile + warm
         add_stage("extract1600", lambda: extract1600(variables, imgs16),
                   lambda o: np.asarray(o.scores[:, :8]), ex16_batch, 4)
@@ -599,11 +630,34 @@ def _kernel_exactness(shared: dict, on_tpu: bool) -> None:
     deltas["gather_big_sorted"] = float(
         np.max(np.abs(np.asarray(gb_p) - np.asarray(gb_x))))
 
+    # Stem kernel vs the XLA s2d stem: tolerance-gated, not bit-exact —
+    # the GEMM contraction order differs, and both run at bf16 MXU
+    # precision on this chip; 1e-2 relative would still catch any
+    # indexing/weight-repack regression outright.
+    from sfd2_tpu.ops.pallas_stem import StemWeights, stem_pallas_apply
+    from sfd2_tpu.ops.stem import PackedStem, fused_stem_apply
+
+    ks = jax.random.fold_in(key, 8)
+    packed = PackedStem(
+        w1=jax.random.normal(jax.random.fold_in(ks, 0), (3, 3, 12, 256)) * 0.2,
+        b1=jax.random.normal(jax.random.fold_in(ks, 1), (256,)) * 0.1,
+        w2=jax.random.normal(jax.random.fold_in(ks, 2), (2, 2, 256, 64)) * 0.1,
+        b2=jax.random.normal(jax.random.fold_in(ks, 3), (64,)) * 0.1,
+    )
+    xs = jax.random.normal(jax.random.fold_in(key, 9), (1, 64, 256, 3))
+    s_ref = np.asarray(fused_stem_apply(xs, packed, jnp.float32))
+    s_got = np.asarray(stem_pallas_apply(
+        xs, StemWeights(packed), dtype=jnp.float32, interpret=interp)
+        .astype(jnp.float32))
+    deltas["stem_rel"] = float(
+        np.abs(s_got - s_ref).max() / max(1e-6, np.abs(s_ref).max()))
+
     shared["kernel_deltas"] = deltas
     shared["kernels_exact"] = (
         deltas["nnm_idx"] == 0 and deltas["nnm_score"] == 0.0
         and deltas["nnr_idx"] == 0 and deltas["nnr_score"] == 0.0
         and deltas["gather"] == 0.0 and deltas["gather_big_sorted"] == 0.0
+        and deltas["stem_rel"] < 1e-2
     )
 
 

@@ -87,6 +87,44 @@ def main():
     print(json.dumps({"prog": "extract_pallas_stem",
                       "ms_per_img": round(t * 1e3, 3)}), flush=True)
 
+    # --- host-packed variants: what production actually dispatches ------
+    # (the host builds the s2d layout next to the upload, so the device
+    # program starts from packed input in both backends)
+    from sfd2_tpu.ops.pallas_stem import fused_stem_pallas, pack_s2d_plane_rows
+    from sfd2_tpu.ops.stem import space_to_depth
+
+    x2_rows = jax.device_put(pack_s2d_plane_rows(x).astype(jnp.float32))
+    run_k = jax.jit(lambda z: fused_stem_pallas(
+        z, weights.w1k, weights.w2k, weights.b1, weights.b2, out_dtype=dt))
+    np.asarray(run_k(x2_rows)[:, 0, 0, :4].astype(jnp.float32))
+    t = timed(lambda: run_k(x2_rows),
+              lambda o: np.asarray(o[:, 0, 0, :4].astype(jnp.float32)),
+              items_per_call=b, iters=3, inner=6, rtt=rtt)
+    print(json.dumps({"prog": "stem_pallas_prepacked",
+                      "ms_per_img": round(t * 1e3, 3)}), flush=True)
+
+    x2_nhwc = jax.device_put(space_to_depth(x).astype(dt))
+
+    @jax.jit
+    def run_xla_convs(z):
+        a = jax.lax.conv_general_dilated(
+            z, packed.w1.astype(dt), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        a = jax.nn.relu(a + packed.b1)
+        o = jax.lax.conv_general_dilated(
+            a.astype(dt), packed.w2.astype(dt), (1, 1), [(1, 0), (1, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return jax.nn.relu(o + packed.b2).astype(dt)
+
+    np.asarray(run_xla_convs(x2_nhwc)[:, 0, 0, :4].astype(jnp.float32))
+    t = timed(lambda: run_xla_convs(x2_nhwc),
+              lambda o: np.asarray(o[:, 0, 0, :4].astype(jnp.float32)),
+              items_per_call=b, iters=3, inner=6, rtt=rtt)
+    print(json.dumps({"prog": "stem_xla_convs_prepacked",
+                      "ms_per_img": round(t * 1e3, 3)}), flush=True)
+
 
 if __name__ == "__main__":
     main()

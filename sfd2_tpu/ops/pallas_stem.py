@@ -23,7 +23,7 @@ s2d transpose alone costs 0.27 ms/img — together 1.20 ms/img of the
 * biases + both affine-free BNs are pre-folded (PackedStem), ReLUs and
   the NHWC transpose ride the epilogue.
 
-Layout requirements: W' % 128 == 0, H' % 16 == 0 (callers pad; the
+Layout requirements: W' % 128 == 0, H' % 8 == 0 (callers pad; the
 extraction pipeline's bucket padding guarantees it).
 """
 
@@ -38,9 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sfd2_tpu.ops.stem import PackedStem
 
-_HB = 16  # out1c rows per grid step
+_HB = 8  # out1c rows per grid step (VMEM-bound: a_all is the big buffer)
 _PAD_TOP = 2  # x2 plane rows of zero padding above row 0 (halo)
-_PAD_BOT = 6  # below row H'-1: block DMA reads [16i, 16i+24)
+_PAD_BOT = 6  # below row H'-1: block DMA reads [8i, 8i+16)
 
 
 class StemWeights:
@@ -62,11 +62,15 @@ class StemWeights:
                 tap = dy * 3 + dx
                 w1k = w1k.at[:, tap * 16:tap * 16 + 12].set(w1[dy, dx].T)
         w2 = jnp.asarray(packed.w2, jnp.float32)  # [2,2,256,64]
-        w2k = jnp.stack([w2[t // 2, t % 2].T for t in range(4)])  # [4,64,256]
+        # Stored [4, 256, 64] (ci-major): stage B contracts the a_all
+        # panel's dim 0 against dim 0 — the result comes out [M, 64],
+        # already in the NHWC output orientation, so the kernel never
+        # transposes data.
+        w2k = jnp.stack([w2[t // 2, t % 2] for t in range(4)])  # [4,256,64]
         self.w1k = w1k.astype(dtype)
         self.w2k = w2k.astype(dtype)
         self.b1 = jnp.asarray(packed.b1, jnp.float32).reshape(256, 1)
-        self.b2 = jnp.asarray(packed.b2, jnp.float32).reshape(64, 1)
+        self.b2 = jnp.asarray(packed.b2, jnp.float32).reshape(1, 64)
 
 
 def pack_s2d_plane_rows(x: jax.Array) -> jax.Array:
@@ -84,71 +88,121 @@ def pack_s2d_plane_rows(x: jax.Array) -> jax.Array:
         x2, ((0, 0), (_PAD_TOP, _PAD_BOT), (0, 16 - 4 * c), (0, 0)))
 
 
-def _roll_cols(v: jax.Array, dx: int) -> jax.Array:
-    """Value at column x+dx−1 with zero fill (conv column taps);
-    pltpu.roll only takes non-negative (circular) shifts."""
-    shift = 1 - dx
-    if shift == 0:
+_GA = 5  # out1a rows per stage-A patch/GEMM (M ≤ _GA·W'): 9 rows → 2 dots
+_GB = 4  # out rows per stage-B GEMM group (8 OOMs scoped VMEM at W'=512)
+
+
+def _roll_seg(v: jax.Array, wseg: int) -> jax.Array:
+    """Shift every W'-wide row segment of a multi-row panel one column
+    right with zero fill (the dxB=0 / dx=0 conv tap). A plain lane roll
+    would leak segment k−1's last column into segment k's column 0, so
+    those columns are re-zeroed."""
+    r = pltpu.roll(v, shift=1, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    return jnp.where(col % wseg == 0, 0, r)
+
+
+def _roll_cols(v: jax.Array, dx: int, wseg: int) -> jax.Array:
+    """Value at column x+dx−1 (per W'-wide segment) with zero fill."""
+    if dx == 0:
+        return _roll_seg(v, wseg)
+    if dx == 1:
         return v
     wp = v.shape[1]
-    r = pltpu.roll(v, shift=shift % wp, axis=1)
+    r = pltpu.roll(v, shift=wp - 1, axis=1)  # left by one
     col = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
-    if shift > 0:  # columns [0, shift) came from the wrap — zero them
-        return jnp.where(col < shift, 0, r)
-    return jnp.where(col >= wp + shift, 0, r)
+    return jnp.where(col % wseg == wseg - 1, 0, r)
 
 
 def _stem_kernel(x2_hbm, w1_ref, w2_ref, b1_ref, b2_ref, out_ref,
-                 slab, patch, a_rows, sem, *, wp: int):
+                 slab2, patch2, a_all, sem2, *, wp: int):
     b = pl.program_id(0)
     i = pl.program_id(1)
+    n_b = pl.num_programs(1)
+    n_a = _HB + 1  # out1a rows per block (halo row included)
 
-    # Input slab: 24 padded plane-rows [24, 16, W'] starting at row 16i
-    # (covers the halo [16i, 16i+19) of this block's 17 out1a rows).
-    cp = pltpu.make_async_copy(
-        x2_hbm.at[b, pl.ds(i * _HB, 24)], slab, sem)
-    cp.start()
-    cp.wait()
+    # Double-buffered input slabs: 16 padded plane-rows [16, 16, W']
+    # starting at row 8i (halo [8i, 8i+11) of this block's 9 out1a
+    # rows). Block (b, i) computes on slab2[i%2] — prefetched by the
+    # PREVIOUS grid step — and prefetches (b, i+1)'s slab into the other
+    # buffer before computing, so the DMA rides under the GEMMs.
+    slot = jax.lax.rem(i, 2)
 
-    # Stage A: out1a s2d rows a = 0..16 (absolute out row 16i−1+a).
-    def stage_a(a, _):
-        for dy in range(3):
-            src = slab[a + dy]  # [16, W'] padded plane row (12 real)
-            for dx in range(3):
-                tap = dy * 3 + dx
-                patch[pl.ds(tap * 16, 16), :] = _roll_cols(src, dx)
+    @pl.when(jnp.logical_and(b == 0, i == 0))
+    def _first_fetch():
+        pltpu.make_async_copy(
+            x2_hbm.at[0, pl.ds(0, 2 * _HB)], slab2.at[0], sem2.at[0]
+        ).start()
+
+    # Prefetch the next block's slab (wrapping to the next image); the
+    # very last grid step starts no copy (every DMA must be waited).
+    nxt = jax.lax.rem(i + 1, n_b)
+    nb = jnp.where(i + 1 == n_b, b + 1, b)
+    is_last = nb >= pl.num_programs(0)
+
+    @pl.when(jnp.logical_not(is_last))
+    def _prefetch():
+        pltpu.make_async_copy(
+            x2_hbm.at[jnp.minimum(nb, pl.num_programs(0) - 1),
+                      pl.ds(nxt * _HB, 2 * _HB)],
+            slab2.at[1 - slot], sem2.at[1 - slot],
+        ).start()
+
+    pltpu.make_async_copy(
+        x2_hbm.at[b, pl.ds(i * _HB, 2 * _HB)], slab2.at[slot],
+        sem2.at[slot],
+    ).wait()
+    slab = slab2.at[slot]
+
+    # Stage A: out1a s2d rows a = 0.._HB (absolute out row _HB·i−1+a),
+    # GEMM'd _GA rows at a time — patch column block k holds row g0+k,
+    # so one [256,144]×[144,_GA·W'] dot produces _GA rows. Results live
+    # side-by-side in a_all [256, (_HB+1)·W'] (row a at lane offset a·W'),
+    # which stage B can then slice contiguously. Ping-pong patch buffers
+    # let the VPU build group g+1 while the MXU contracts group g.
+    groups = [(g0, min(_GA, n_a - g0)) for g0 in range(0, n_a, _GA)]
+    for gi, (g0, g) in enumerate(groups):  # static unroll
+        patch = patch2.at[gi % 2]
+        for k in range(g):
+            for dy in range(3):
+                src = slab[g0 + k + dy]  # [16, W'] plane row (12 real)
+                for dx in range(3):
+                    tap = dy * 3 + dx
+                    patch[pl.ds(tap * 16, 16), pl.ds(k * wp, wp)] = (
+                        _roll_cols(src, dx, wp))
         acc = jax.lax.dot_general(
-            w1_ref[...], patch[...], (((1,), (0,)), ((), ())),
+            w1_ref[...], patch[:, : g * wp], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [256, W']
-        a_rows[a] = jnp.maximum(acc + b1_ref[...], 0.0).astype(a_rows.dtype)
-        return _
+        )  # [256, g·W']
+        a_all[:, pl.ds(g0 * wp, g * wp)] = \
+            jnp.maximum(acc + b1_ref[...], 0.0).astype(a_all.dtype)
 
-    jax.lax.fori_loop(0, _HB + 1, stage_a, 0)
-
-    # a_rows[0] of the first block is out1a row −1 — conv1b's ZERO
+    # a_all row 0 of the first block is out1a row −1 — conv1b's ZERO
     # padding, not a computed row (bias/BN/relu would make it nonzero).
     @pl.when(i == 0)
     def _zero_top():
-        a_rows[0] = jnp.zeros(a_rows.shape[1:], a_rows.dtype)
+        a_all[:, pl.ds(0, wp)] = jnp.zeros((256, wp), a_all.dtype)
 
-    # Stage B: out rows r = 0..15; out[y'] needs A rows y'−1, y' →
-    # a = r, r+1; column taps dxB ∈ {0,1} → x'+dxB−1.
-    def stage_b(r, _):
-        acc = jnp.zeros((64, wp), jnp.float32)
+    # Stage B: out rows in groups of _GB; out[y'] needs A rows y'−1, y'
+    # (dyB ∈ {0,1}) — contiguous [256, _GB·W'] panels of a_all, no
+    # copies; column taps dxB ∈ {0,1} → x'+dxB−1 via segment roll. The
+    # dots contract panel dim 0 against w2k dim 0, so the result is
+    # [_GB·W', 64] — NHWC orientation, no in-kernel transpose.
+    for r0 in range(0, _HB, _GB):
+        acc = jnp.zeros((_GB * wp, 64), jnp.float32)
         for dyB in range(2):
-            src = a_rows[r + dyB]  # [256, W']
-            for dxB in range(2):
-                acc += jax.lax.dot_general(
-                    w2_ref[dyB * 2 + dxB], _roll_cols(src, dxB),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-        row = jnp.maximum(acc + b2_ref[...], 0.0)
-        out_ref[0, r] = row.T.astype(out_ref.dtype)  # [W', 64]
-        return _
-
-    jax.lax.fori_loop(0, _HB, stage_b, 0)
+            panel = a_all[:, pl.ds((r0 + dyB) * wp, _GB * wp)]
+            acc += jax.lax.dot_general(
+                _roll_seg(panel, wp), w2_ref[dyB * 2],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc += jax.lax.dot_general(
+                panel, w2_ref[dyB * 2 + 1],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        rows = jnp.maximum(acc + b2_ref[...], 0.0)  # [_GB·W', 64]
+        out_ref[0, pl.ds(r0, _GB)] = (
+            rows.astype(out_ref.dtype).reshape(_GB, wp, 64))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
@@ -162,7 +216,7 @@ def fused_stem_pallas(
     out_dtype=jnp.bfloat16,
 ) -> jax.Array:
     """x2_rows: [B, Hp, 16, W'] (pack_s2d_plane_rows layout, normalised,
-    f32) → out1c [B, H', W', 64] NHWC. W' % 128 == 0, H' % 16 == 0."""
+    f32) → out1c [B, H', W', 64] NHWC. W' % 128 == 0, H' % 8 == 0."""
     b, hp, _, wp = x2_rows.shape
     h2 = hp - _PAD_TOP - _PAD_BOT
     assert h2 % _HB == 0 and wp % 128 == 0, (h2, wp)
@@ -173,17 +227,17 @@ def fused_stem_pallas(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((256, 144), lambda bb, ii: (0, 0)),
-            pl.BlockSpec((4, 64, 256), lambda bb, ii: (0, 0, 0)),
+            pl.BlockSpec((4, 256, 64), lambda bb, ii: (0, 0, 0)),
             pl.BlockSpec((256, 1), lambda bb, ii: (0, 0)),
-            pl.BlockSpec((64, 1), lambda bb, ii: (0, 0)),
+            pl.BlockSpec((1, 64), lambda bb, ii: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, _HB, wp, 64), lambda bb, ii: (bb, ii, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h2, wp, 64), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((24, 16, wp), x2_rows.dtype),
-            pltpu.VMEM((144, wp), x2_rows.dtype),
-            pltpu.VMEM((_HB + 1, 256, wp), x2_rows.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 2 * _HB, 16, wp), x2_rows.dtype),
+            pltpu.VMEM((2, 144, _GA * wp), x2_rows.dtype),
+            pltpu.VMEM((256, (_HB + 1) * wp), x2_rows.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(x2_rows, w1k, w2k, b1, b2)

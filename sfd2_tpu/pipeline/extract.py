@@ -62,6 +62,11 @@ class ExtractionConfig:
     #                     None = follow bf16: the fold reorders summations
     #                     (float-exact zeros, ~1e-6 f32 deltas), so it
     #                     rides the same "bf16=False → bit-exact" contract.
+    stem_backend: str = "auto"  # "xla" (s2d convs, in-graph repack) |
+    #                     "pallas" (ops/pallas_stem.py kernel on HOST-packed
+    #                     plane rows — the s2d transpose costs 0 device
+    #                     time) | "auto": pallas on TPU, xla elsewhere.
+    #                     Only consulted when fused_stem is on.
     as_half: bool = False  # store descriptors as float16 (hloc as_half)
 
 
@@ -204,6 +209,7 @@ class Extractor:
         if config.fused_stem is None:
             config = dataclasses.replace(config, fused_stem=bool(config.bf16))
         self._packed_stem = None
+        self._stem_weights = None  # pallas-kernel constants
         if config.fused_stem and hasattr(self.model, "forward_from_out1c"):
             try:
                 from sfd2_tpu.ops.stem import repack_stem_params
@@ -213,8 +219,28 @@ class Extractor:
                 )
             except (KeyError, TypeError):  # non-ResSegNet parameter tree
                 self._packed_stem = None
+        backend = config.stem_backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if self._packed_stem is not None and backend == "pallas" \
+                and self.mesh is None:
+            from sfd2_tpu.ops.pallas_stem import StemWeights
+
+            self._stem_weights = StemWeights(self._packed_stem)
         self.cfg = config
         self._programs: Dict[Tuple[int, int, int], callable] = {}
+
+    def _pad_hw(self, h: int, w: int) -> Tuple[int, int]:
+        """Bucketed padded shape. The pallas stem kernel needs
+        W/2 % 128 == 0 and H/2 % 8 == 0, so its buckets round W up to
+        256 (H's 16-multiple is implied by pad_multiple ≥ 16)."""
+        m = self.cfg.pad_multiple
+        hp = -(-h // m) * m
+        wp = -(-w // m) * m
+        if self._stem_weights is not None:
+            hp = -(-hp // 16) * 16
+            wp = -(-wp // 256) * 256
+        return hp, wp
 
     def _program(self, shape: Tuple[int, int, int], with_labels: bool = False):
         key = (shape, with_labels)
@@ -223,24 +249,58 @@ class Extractor:
             packed_stem = self._packed_stem
             stem_dt = jnp.bfloat16 if cfg.bf16 else jnp.float32
 
+            stem_weights = self._stem_weights
+            interp = jax.default_backend() != "tpu"
+
             @jax.jit
             def run(variables, images_u8, sizes, label_map=None):
                 # Images arrive as uint8 and are normalised on device:
                 # 4x fewer bytes over the host↔device link (which is the
                 # bottleneck behind a high-latency relay).
-                images = images_u8.astype(jnp.float32) / 255.0
-                images = (images - jnp.asarray(_RGB_MEAN)) / jnp.asarray(_RGB_STD)
-                if packed_stem is not None and images.shape[1] % 2 == 0 \
-                        and images.shape[2] % 2 == 0:
-                    from sfd2_tpu.ops.stem import fused_stem_apply
+                if stem_weights is not None and images_u8.ndim == 4 \
+                        and images_u8.shape[2] == 16:
+                    # HOST-packed s2d plane rows [B, Hp, 16, W'] → the
+                    # Pallas stem kernel (zero device-side transpose).
+                    from sfd2_tpu.ops.pallas_stem import fused_stem_pallas
 
-                    out1c = fused_stem_apply(images, packed_stem, stem_dt)
+                    mean16 = jnp.concatenate(
+                        [jnp.tile(jnp.asarray(_RGB_MEAN), 4), jnp.zeros(4)])
+                    std16 = jnp.concatenate(
+                        [jnp.tile(jnp.asarray(_RGB_STD), 4), jnp.ones(4)])
+                    x2 = images_u8.astype(jnp.float32) / 255.0
+                    x2 = (x2 - mean16[None, None, :, None]) \
+                        / std16[None, None, :, None]
+                    # Halo rows are conv zero-padding, NOT image pixels —
+                    # normalisation must not turn them into -mean/std.
+                    hp_rows = images_u8.shape[1]
+                    row = jnp.arange(hp_rows)[None, :, None, None]
+                    x2 = jnp.where((row < 2) | (row >= hp_rows - 6), 0.0, x2)
+                    out1c = fused_stem_pallas(
+                        x2, stem_weights.w1k, stem_weights.w2k,
+                        stem_weights.b1, stem_weights.b2,
+                        interpret=interp, out_dtype=stem_dt)
                     out = self.model.apply(
                         variables, out1c, method=self.model.forward_from_out1c)
                 else:
-                    out = self.model.apply(variables, images)
+                    images = images_u8.astype(jnp.float32) / 255.0
+                    images = (images - jnp.asarray(_RGB_MEAN)) \
+                        / jnp.asarray(_RGB_STD)
+                    if packed_stem is not None and images.shape[1] % 2 == 0 \
+                            and images.shape[2] % 2 == 0:
+                        from sfd2_tpu.ops.stem import fused_stem_apply
+
+                        out1c = fused_stem_apply(images, packed_stem, stem_dt)
+                        out = self.model.apply(
+                            variables, out1c,
+                            method=self.model.forward_from_out1c)
+                    else:
+                        out = self.model.apply(variables, images)
                 score = out.score
-                h, w = images.shape[1], images.shape[2]
+                if images_u8.shape[2] == 16 and stem_weights is not None:
+                    h = (images_u8.shape[1] - 8) * 2  # minus halo rows
+                    w = images_u8.shape[3] * 2
+                else:
+                    h, w = images_u8.shape[1], images_u8.shape[2]
                 if score.shape[1] != h or score.shape[2] != w:
                     score = resize_bilinear(score[..., None], (h, w))[..., 0]
                 kp = extract_keypoints(
@@ -273,18 +333,32 @@ class Extractor:
 
     def _pad_batch(self, images: Sequence[np.ndarray]):
         """Pad to a bucketed shape as uint8 (normalisation happens on
-        device — see _program). Inputs are float [0,1] images."""
-        m = self.cfg.pad_multiple
+        device — see _program). Inputs are float [0,1] images. Returns
+        (batch, (hp, wp)); with the pallas stem the batch is HOST-packed
+        s2d plane rows [B, hp/2+8, 16, wp/2] — the lane-hostile s2d
+        transpose never runs on device (it cost 0.27 ms/img in XLA) and
+        the wire bytes are identical."""
         hmax = max(im.shape[0] for im in images)
         wmax = max(im.shape[1] for im in images)
-        hp = ((hmax + m - 1) // m) * m
-        wp = ((wmax + m - 1) // m) * m
+        hp, wp = self._pad_hw(hmax, wmax)
+        if self._stem_weights is not None:
+            h2, w2 = hp // 2, wp // 2
+            batch = np.zeros((len(images), h2 + 8, 16, w2), np.uint8)
+            for i, im in enumerate(images):
+                u8 = np.clip(np.rint(im * 255.0), 0, 255).astype(np.uint8)
+                for p in range(2):
+                    for q in range(2):
+                        sub = u8[p::2, q::2]  # [h_pq, w_pq, 3]
+                        batch[i, 2:2 + sub.shape[0],
+                              (p * 2 + q) * 3:(p * 2 + q) * 3 + 3,
+                              : sub.shape[1]] = sub.transpose(0, 2, 1)
+            return batch, (hp, wp)
         batch = np.zeros((len(images), hp, wp, 3), np.uint8)
         for i, im in enumerate(images):
             batch[i, : im.shape[0], : im.shape[1]] = np.clip(
                 np.rint(im * 255.0), 0, 255
             ).astype(np.uint8)
-        return batch
+        return batch, (hp, wp)
 
     def extract_batch(
         self,
@@ -322,13 +396,13 @@ class Extractor:
                 )) if a else _dummy
                 for im, a in zip(images, act)
             ]
-            batch = self._pad_batch(scaled)
+            batch, (hp, wp) = self._pad_batch(scaled)
             sizes = jnp.asarray(
                 np.array([[im.shape[1], im.shape[0]] for im in scaled], np.int32)
             )
             lbl = None
             if with_labels:
-                lbl_np = np.zeros(batch.shape[:3], np.int32)
+                lbl_np = np.zeros((len(scaled), hp, wp), np.int32)
                 for i, im in enumerate(scaled):
                     lbl_np[i, : im.shape[0], : im.shape[1]] = _resize_labels_nearest(
                         label_maps[i], im.shape[:2]
@@ -408,8 +482,7 @@ class Extractor:
         if rm and max(h, w) > rm:
             s = rm / max(h, w)
             w, h = int(round(w * s)), int(round(h * s))
-        m = self.cfg.pad_multiple
-        return (-(-h // m) * m, -(-w // m) * m)
+        return self._pad_hw(h, w)
 
     def extract_to_store(
         self,

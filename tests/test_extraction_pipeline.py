@@ -300,3 +300,32 @@ def test_fused_stem_extractor_matches_standard(small_extractor, rng):
         fused.scores[order_f], std.scores[order_s], atol=1e-4)
     np.testing.assert_allclose(
         fused.descriptors[order_f], std.descriptors[order_s], atol=1e-3)
+
+
+def test_pallas_stem_extractor_matches_standard(small_extractor, rng):
+    """stem_backend='pallas': HOST-packed s2d plane rows + the Pallas
+    stem kernel (interpret mode on CPU) must reproduce the standard
+    extractor's keypoints (ops/pallas_stem.py). The image width is
+    chosen so both paths land in the SAME padded bucket (the pallas
+    path rounds W to 256) — different buckets legitimately shift
+    edge responses."""
+    img = rng.random((96, 250, 3)).astype(np.float32)
+    std = small_extractor.extract_batch([img])[0]
+    cfg_p = ExtractionConfig(
+        max_keypoints=256, conf_threshold=1e-5, resize_max=128,
+        pad_multiple=32, batch_size=2, fused_stem=True,
+        stem_backend="pallas",
+    )
+    pal_ex = Extractor(small_extractor.variables, cfg_p,
+                       model=small_extractor.model)
+    assert pal_ex._stem_weights is not None
+    pal = pal_ex.extract_batch([img])[0]
+    assert len(pal.keypoints) == len(std.keypoints)
+    order_s = np.lexsort(std.keypoints.T)
+    order_p = np.lexsort(pal.keypoints.T)
+    np.testing.assert_allclose(
+        pal.keypoints[order_p], std.keypoints[order_s], atol=1e-3)
+    np.testing.assert_allclose(
+        pal.scores[order_p], std.scores[order_s], atol=1e-4)
+    np.testing.assert_allclose(
+        pal.descriptors[order_p], std.descriptors[order_s], atol=1e-3)
