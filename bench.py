@@ -502,33 +502,37 @@ def run_bench(shared: dict) -> dict:
     # cannot cost any headline stage its pass-0 number.
     if on_tpu and not quick:
         shared["phase"] = "compile:extract1600"
-        # Pallas stem bucket: W rounds to 256 (pipeline/extract.py
-        # _pad_hw) — Aachen landscape 1600x1200 pads to 1600x1280.
-        h16, w16 = (1600, 1280) if stem_w is not None else (1600, 1200)
-        ex16_batch = 8 if on_tpu else 1
+        try:
+            # Pallas stem bucket: W rounds to 256 (pipeline/extract.py
+            # _pad_hw) — Aachen landscape 1600x1200 pads to 1600x1280.
+            h16, w16 = (1600, 1280) if stem_w is not None else (1600, 1200)
+            ex16_batch = 8 if on_tpu else 1
 
-        @jax.jit
-        def extract1600(variables, images):
-            if stem_w is not None:
-                out1c = fused_stem_pallas(
-                    images, stem_w.w1k, stem_w.w2k, stem_w.b1, stem_w.b2,
-                    out_dtype=ex_dtype)
-                out = model.apply(variables, out1c,
-                                  method=model.forward_from_out1c)
-            else:
-                out = model.apply(variables, images)
-            return extract_keypoints(
-                out.score, out.descriptors, out.stability,
-                max_keypoints=k, conf_threshold=0.001,
-            )
+            @jax.jit
+            def extract1600(variables, images):
+                if stem_w is not None:
+                    out1c = fused_stem_pallas(
+                        images, stem_w.w1k, stem_w.w2k, stem_w.b1,
+                        stem_w.b2, out_dtype=ex_dtype)
+                    out = model.apply(variables, out1c,
+                                      method=model.forward_from_out1c)
+                else:
+                    out = model.apply(variables, images)
+                return extract_keypoints(
+                    out.score, out.descriptors, out.stability,
+                    max_keypoints=k, conf_threshold=0.001,
+                )
 
-        shape16 = ((ex16_batch, h16 // 2 + 8, 16, w16 // 2)
-                   if stem_w is not None else (ex16_batch, h16, w16, 3))
-        imgs16 = jax.random.normal(
-            jax.random.fold_in(key, 16), shape16, jnp.float32)
-        np.asarray(extract1600(variables, imgs16).scores)  # compile + warm
-        add_stage("extract1600", lambda: extract1600(variables, imgs16),
-                  lambda o: np.asarray(o.scores[:, :8]), ex16_batch, 4)
+            shape16 = ((ex16_batch, h16 // 2 + 8, 16, w16 // 2)
+                       if stem_w is not None else (ex16_batch, h16, w16, 3))
+            imgs16 = jax.random.normal(
+                jax.random.fold_in(key, 16), shape16, jnp.float32)
+            np.asarray(extract1600(variables, imgs16).scores)  # compile+warm
+            add_stage("extract1600", lambda: extract1600(variables, imgs16),
+                      lambda o: np.asarray(o.scores[:, :8]), ex16_batch, 4)
+        except Exception as e:  # an EXTRA stage must never kill the run
+            errors["extract1600"] = f"{type(e).__name__}: {e}"[:400]
+            shared["result"] = _compose(shared)
 
     # --- measurement passes: per-stage minima, result updated live ------
     by_pass = shared.setdefault("times_by_pass", [])

@@ -88,8 +88,14 @@ def pack_s2d_plane_rows(x: jax.Array) -> jax.Array:
         x2, ((0, 0), (_PAD_TOP, _PAD_BOT), (0, 16 - 4 * c), (0, 0)))
 
 
-_GA = 5  # out1a rows per stage-A patch/GEMM (M ≤ _GA·W'): 9 rows → 2 dots
 _GB = 4  # out rows per stage-B GEMM group (8 OOMs scoped VMEM at W'=512)
+
+
+def _ga(wp: int) -> int:
+    """out1a rows per stage-A patch/GEMM (M ≤ ga·W'): the patch ping-pong
+    pair + the [256, ga·W'] dot result are the scoped-VMEM hot spots, so
+    wider buckets take smaller groups (W'=640 OOMs at ga=5)."""
+    return 5 if wp <= 512 else 4
 
 
 def _roll_seg(v: jax.Array, wseg: int) -> jax.Array:
@@ -160,7 +166,8 @@ def _stem_kernel(x2_hbm, w1_ref, w2_ref, b1_ref, b2_ref, out_ref,
     # side-by-side in a_all [256, (_HB+1)·W'] (row a at lane offset a·W'),
     # which stage B can then slice contiguously. Ping-pong patch buffers
     # let the VPU build group g+1 while the MXU contracts group g.
-    groups = [(g0, min(_GA, n_a - g0)) for g0 in range(0, n_a, _GA)]
+    ga = _ga(wp)
+    groups = [(g0, min(ga, n_a - g0)) for g0 in range(0, n_a, ga)]
     for gi, (g0, g) in enumerate(groups):  # static unroll
         patch = patch2.at[gi % 2]
         for k in range(g):
@@ -235,7 +242,7 @@ def fused_stem_pallas(
         out_shape=jax.ShapeDtypeStruct((b, h2, wp, 64), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((2, 2 * _HB, 16, wp), x2_rows.dtype),
-            pltpu.VMEM((2, 144, _GA * wp), x2_rows.dtype),
+            pltpu.VMEM((2, 144, _ga(wp) * wp), x2_rows.dtype),
             pltpu.VMEM((256, (_HB + 1) * wp), x2_rows.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
