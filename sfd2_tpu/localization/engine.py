@@ -646,7 +646,7 @@ class LocalizationEngine:
         k = self.cfg.max_keypoints
         q0 = q_feats_dev[0][0]
         c = q0.shape[1]
-        d = max(len(b) for b in banks_per_q)
+        d = max(1, max(len(b) for b in banks_per_q))
         n_flat = _bucket(len(banks_per_q) * d)
         zero = self._dev_zero(c)
         descs, vals, labs = [], [], []
