@@ -647,7 +647,21 @@ class LocalizationEngine:
         q0 = q_feats_dev[0][0]
         c = q0.shape[1]
         d = max(1, max(len(b) for b in banks_per_q))
-        n_flat = _bucket(len(banks_per_q) * d)
+        n_total = len(banks_per_q) * d
+        # The full-width-stripe matcher kernel register-spills past
+        # ~128 stacked pairs (measured: B=512 at K=4096 wants 240 MB of
+        # spill slots) — chunk the flattened axis; chunks dispatch
+        # asynchronously so the RTT amortisation is kept.
+        if n_total > 128:
+            out = np.full((len(banks_per_q), d, k), -1, np.int64)
+            per_chunk = max(1, 128 // d)
+            for s0 in range(0, len(banks_per_q), per_chunk):
+                sub = self._batched_match(
+                    q_feats_dev[s0:s0 + per_chunk],
+                    banks_per_q[s0:s0 + per_chunk])
+                out[s0:s0 + sub.shape[0], : sub.shape[1]] = sub
+            return out
+        n_flat = _bucket(n_total)
         zero = self._dev_zero(c)
         descs, vals, labs = [], [], []
         for banks in banks_per_q:

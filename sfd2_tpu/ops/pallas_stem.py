@@ -240,6 +240,10 @@ def fused_stem_pallas(
         ],
         out_specs=pl.BlockSpec((1, _HB, wp, 64), lambda bb, ii: (bb, ii, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h2, wp, 64), out_dtype),
+        # The default scoped-VMEM stack cap is 16 MB; wide buckets
+        # (W'=640, the r1600 Aachen config) legitimately need ~18 MB of
+        # scratch+stack — raise the cap (physical VMEM is 128 MB).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         scratch_shapes=[
             pltpu.VMEM((2, 2 * _HB, 16, wp), x2_rows.dtype),
             pltpu.VMEM((2, 144, _ga(wp) * wp), x2_rows.dtype),

@@ -230,3 +230,29 @@ def test_localize_throughput_matches_sequential(served_scene):
             assert qe < 0.5 and te < 0.1, (qname, qe, te)
         else:
             np.testing.assert_array_equal(a.qvec, b.qvec)
+
+
+def test_batched_match_chunking_matches_direct(served_scene):
+    """_batched_match beyond the 128-pair kernel cap chunks dispatches;
+    results must equal the per-query matcher."""
+    scene, service, server, _ = served_scene
+    eng = service.engine
+    import jax.numpy as jnp
+
+    ids = [int(i) for i in list(scene.map_index.images)[:10]]
+    banks = [ids * 3 for _ in range(5)]  # 5 queries x 30 banks = 150 > 128
+    q_feats = []
+    for qname, _, _, _ in scene.queries[:5]:
+        with eng._cache_lock:
+            _, qd, _, qv, _ = eng.features.read_padded(
+                qname, eng.cfg.max_keypoints, with_labels=True)
+        q_feats.append((jnp.asarray(qd), jnp.asarray(qv), None))
+    # queries list shorter than 5 in this scene: reuse cyclically
+    while len(q_feats) < 5:
+        q_feats.append(q_feats[-1])
+    got = eng._batched_match(q_feats, banks)
+    assert got.shape == (5, 30, eng.cfg.max_keypoints)
+    for qi in range(5):
+        ref = eng._match_query_to_dbs(q_feats[qi][0], q_feats[qi][1],
+                                      banks[qi])
+        np.testing.assert_array_equal(got[qi], ref)
