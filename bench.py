@@ -221,7 +221,7 @@ def _compose(shared: dict) -> dict:
               "e2e_recall_025m_2deg", "e2e_recall_05m_5deg",
               "e2e_med_terr_m", "e2e_med_rerr_deg",
               "e2e_qps_sequential", "e2e_qps_pipelined", "e2e_qps_batched",
-              "e2e_accept_batched",
+              "e2e_accept_batched", "e2e_recall_batched",
               "e2e_pipeline_speedup", "e2e_note", "stage_errors"):
         if shared.get(k) is not None and shared.get(k) != {}:
             out[k] = shared[k]
@@ -766,6 +766,12 @@ def _e2e_localize(shared: dict, quick: bool) -> None:
             acc_p = sum(r.source == "accepted" for r in results_p)
             acc_b = sum(r.source == "accepted" for r in results_b)
             shared["e2e_accept_batched"] = f"{acc_b}/{len(jobs)}"
+            errs_b = [pose_error(r.qvec, r.tvec, q_gt, t_gt)
+                      for r, (_, q_gt, t_gt, _) in zip(results_b, scene.queries)]
+            qe_b = np.array([e[0] for e in errs_b])
+            te_b = np.array([e[1] for e in errs_b])
+            shared["e2e_recall_batched"] = round(
+                float(np.mean((te_b < 0.25) & (qe_b < 2.0))), 3)
         shared["e2e_note"] = (
             f"median wall-clock over {len(per_q)} queries ({n_img}-img map"
             f"{', PRODUCTION 4096kp/50-frame shapes' if production else ''}, "
