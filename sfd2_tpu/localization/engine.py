@@ -650,18 +650,35 @@ class LocalizationEngine:
         n_total = len(banks_per_q) * d
         # The full-width-stripe matcher kernel register-spills past
         # ~128 stacked pairs (measured: B=512 at K=4096 wants 240 MB of
-        # spill slots) — chunk the flattened axis; chunks dispatch
-        # asynchronously so the RTT amortisation is kept.
+        # spill slots) — chunk the flattened axis. ALL chunks are
+        # dispatched before any is fetched (JAX dispatch is async), so
+        # the device pipeline stays full and only one fetch round-trip
+        # is exposed per chunk tail.
         if n_total > 128:
-            out = np.full((len(banks_per_q), d, k), -1, np.int64)
             per_chunk = max(1, 128 // d)
-            for s0 in range(0, len(banks_per_q), per_chunk):
-                sub = self._batched_match(
+            devs = [
+                self._batched_match_dev(
                     q_feats_dev[s0:s0 + per_chunk],
-                    banks_per_q[s0:s0 + per_chunk])
-                out[s0:s0 + sub.shape[0], : sub.shape[1]] = sub
+                    banks_per_q[s0:s0 + per_chunk], d)
+                for s0 in range(0, len(banks_per_q), per_chunk)
+            ]
+            out = np.full((len(banks_per_q), d, k), -1, np.int64)
+            s0 = 0
+            for dev, nq in devs:
+                sub = np.asarray(dev).astype(np.int64)
+                out[s0:s0 + nq] = sub[: nq * d].reshape(nq, d, k)
+                s0 += nq
             return out
-        n_flat = _bucket(n_total)
+        dev, nq = self._batched_match_dev(q_feats_dev, banks_per_q, d)
+        sub = np.asarray(dev).astype(np.int64)
+        return sub[: nq * d].reshape(nq, d, k)
+
+    def _batched_match_dev(self, q_feats_dev, banks_per_q, d):
+        """Dispatch one flattened matcher chunk; returns (device matches
+        [n_flat, K] in the fetch dtype, n_queries) WITHOUT blocking."""
+        k = self.cfg.max_keypoints
+        c = q_feats_dev[0][0].shape[1]
+        n_flat = _bucket(len(banks_per_q) * d)
         zero = self._dev_zero(c)
         descs, vals, labs = [], [], []
         for banks in banks_per_q:
@@ -692,8 +709,7 @@ class LocalizationEngine:
             args += [ql, jnp.stack(labs)]
         m, _ = self._matcher(*args)
         fetch_dt = jnp.int16 if k < 32768 else jnp.int32
-        m = np.asarray(m.astype(fetch_dt)).astype(np.int64)
-        return m[: len(banks_per_q) * d].reshape(len(banks_per_q), d, k)
+        return m.astype(fetch_dt), len(banks_per_q)
 
     def _batched_pnp(self, items: List[tuple], thresh: float,
                      seed_base: int):
