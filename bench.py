@@ -27,9 +27,10 @@ calls for 30+ minutes — see CLAUDE.md):
 
 Timing method: each stage processes a BATCH of items per dispatch
 (amortising the ~25-100 ms relay round-trip), is fenced by a small host
-transfer, and the relay RTT (measured with a trivial op) is subtracted;
-MIN across windows and across two passes is reported (relay noise is
-strictly additive — see _timed_per_item).
+transfer, and the fixed per-window fence/RTT cost is cancelled by
+paired-window differencing (inner vs 2×inner dispatches, MIN across
+windows and across two passes — relay noise is strictly additive; see
+_timed_per_item).
 
 vs_baseline: the reference publishes no speed numbers, so the ledger is
 round-over-round: baseline = the highest-round BENCH_r*.json with
@@ -126,11 +127,11 @@ def _compose(shared: dict) -> dict:
 
     unit = ("frames/s (1024px extract@4096kp + 50-pair mutual-NN + "
             "PnP-RANSAC + 5-iter LM refine + map-BA/50 frames; device "
-            "time, relay RTT subtracted)")
+            "time, fence/RTT cancelled by paired-window differencing)")
     if not complete:
         unit = (f"frames/s over PARTIAL stages [{'+'.join(have)}] "
                 "(run ended early — see error/stage_errors; device time, "
-                "RTT subtracted)")
+                "fence/RTT cancelled)")
     if shared.get("quick"):
         unit = "QUICK MODE (256px/512kp smoke shapes, NOT the headline) " + unit
 

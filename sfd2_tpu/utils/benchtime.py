@@ -8,10 +8,14 @@ measurement windows 10-30×. The methodology that survives it (CLAUDE.md
 * batch many ASYNC dispatches per window and fence ONCE with a small
   host transfer (np.asarray of a tiny slice — block_until_ready
   under-measures through the relay);
-* subtract the separately-measured RTT once per window;
-* report the MIN across windows: device time is fixed and relay noise is
+* take the MIN across windows: device time is fixed and relay noise is
   strictly additive, so min is the consistent estimator (a median cannot
-  reject a majority-turbulent sample).
+  reject a majority-turbulent sample);
+* cancel the per-window fence/RTT cost by PAIRED-WINDOW DIFFERENCING
+  (inner vs 2×inner dispatches) instead of subtracting a separately
+  measured RTT — an RTT sampled in a different turbulence phase than
+  the window it is subtracted from biases the estimate either way
+  (see timed_per_item).
 """
 
 from __future__ import annotations
@@ -39,20 +43,39 @@ def measure_rtt(samples: int = 8) -> float:
 
 
 def timed_per_item(fn, fence, items_per_call=1, iters=3, inner=8, rtt=0.0):
-    """MIN per-item seconds over `iters` windows of `inner` async
-    dispatches fenced once at the end; `rtt` is subtracted per window
-    (floored at 5% of the window so a mis-estimated RTT can never zero
-    out a short stage)."""
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(inner):
-            out = fn()
-        fence(out)
-        ts.append(time.perf_counter() - t0)
-    t_window = min(ts)
-    return max(t_window - rtt, t_window * 0.05) / (inner * items_per_call)
+    """Per-item seconds by PAIRED-WINDOW DIFFERENCING: time windows of
+    `inner` and 2×`inner` async dispatches (each the min over `iters`),
+    then divide the difference by `inner` — the per-window fence/RTT
+    cost cancels exactly, so the estimate is immune to an RTT measured
+    during a different relay-turbulence phase. (Subtracting a setup-time
+    RTT once per window, the old scheme, under-reported short stages to
+    below physical floors when setup was turbulent and the measurement
+    windows were calm: a 41.7 ms RTT estimate against a ~35 ms match
+    window left only the 5% floor — 5.4 µs/pair, beneath the 23 µs pure-
+    GEMM bound.) Falls back to rtt-subtraction (floored at 5% of the
+    window) when the difference is non-positive, i.e. the short window
+    never escaped turbulence; the single-window bound t1/inner caps the
+    estimate either way."""
+
+    def _window(n):
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(n):
+                out = fn()
+            fence(out)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1 = _window(inner)
+    t2 = _window(2 * inner)
+    diff = t2 - t1
+    if diff > 0:
+        est = min(diff, t1) / inner
+    else:
+        est = max(t1 - rtt, t1 * 0.05) / inner
+    return est / items_per_call
 
 
 def enable_compile_cache(repo_dir: str) -> None:

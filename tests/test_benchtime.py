@@ -23,7 +23,8 @@ def test_timed_per_item_divides_by_items_and_inner():
 
 def test_timed_per_item_rtt_floor_never_zeroes_a_stage():
     """A mis-estimated (too large) RTT must not produce ≤0 per-item time:
-    the subtraction is floored at 5% of the window."""
+    differencing ignores the RTT estimate, and the non-positive-diff
+    fallback floors the subtraction at 5% of the window."""
     def fn():
         time.sleep(0.002)
         return 1
@@ -34,7 +35,8 @@ def test_timed_per_item_rtt_floor_never_zeroes_a_stage():
 
 
 def test_timed_per_item_min_across_windows_rejects_one_slow_window():
-    calls = [0.05, 0.001, 0.001]  # first window turbulent
+    # First window of the short-pass turbulent; everything else calm.
+    calls = [0.05, 0.001, 0.001] + [0.001] * 6
 
     def fn():
         time.sleep(calls.pop(0))
@@ -43,6 +45,22 @@ def test_timed_per_item_min_across_windows_rejects_one_slow_window():
     t = timed_per_item(fn, fence=lambda o: o, items_per_call=1,
                        iters=3, inner=1, rtt=0.0)
     assert t < 0.02, t  # min window, not mean (which would be ~17 ms)
+
+
+def test_timed_per_item_differencing_cancels_fence_cost():
+    """Paired-window differencing measures the per-dispatch time exactly
+    even when every window pays a large fixed fence/RTT cost AND the
+    supplied rtt estimate is wildly wrong (the failure that produced
+    below-GEMM-floor stage times on the relay)."""
+    d, fence_cost = 0.002, 0.03
+
+    def fn():
+        time.sleep(d)
+        return 1
+
+    t = timed_per_item(fn, fence=lambda o: time.sleep(fence_cost),
+                       items_per_call=1, iters=2, inner=4, rtt=0.1)
+    assert 0.5 * d <= t <= 2.0 * d, t
 
 
 def test_enable_compile_cache_is_best_effort(tmp_path):
