@@ -28,16 +28,17 @@ calls for 30+ minutes — see CLAUDE.md):
 Timing method: each stage processes a BATCH of items per dispatch
 (amortising the ~25-100 ms relay round-trip), is fenced by a small host
 transfer, and the fixed per-window fence/RTT cost is cancelled by
-paired-window differencing (inner vs 2×inner dispatches, MIN across
-windows and across two passes — relay noise is strictly additive; see
-_timed_per_item).
+paired-window differencing (inner vs 2×inner dispatches measured
+back-to-back per pair, MIN across pairs and across BENCH_PASSES passes
+(default 3) plus the pass-0 measurement — relay noise is strictly
+additive; see _timed_per_item).
 
 vs_baseline: the reference publishes no speed numbers, so the ledger is
 round-over-round: baseline = the highest-round BENCH_r*.json with
 value>0 (wedged 0.0 artifacts skipped); the chosen file is reported as
 `vs_baseline_ref` and the round-1 ratio as `vs_r01`.
 
-Env knobs: BENCH_BUDGET_S (default 1680), BENCH_PASSES (3),
+Env knobs: BENCH_BUDGET_S (default 2400), BENCH_PASSES (3),
 BENCH_E2E / BENCH_EXACT (1), BENCH_QUICK=1 (small shapes, CPU-friendly).
 """
 
@@ -797,7 +798,7 @@ def main():
     hang inside device calls (no exception to catch), so the workload
     runs in a daemon thread that publishes per-stage results as they
     land; on budget expiry the watchdog emits whatever was measured."""
-    budget = float(os.environ.get("BENCH_BUDGET_S", "1680"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
     shared: dict = {}
     _append_attempt({"event": "start", "budget_s": budget,
                      "argv": sys.argv[1:]})

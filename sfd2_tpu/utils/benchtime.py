@@ -51,46 +51,50 @@ def measure_rtt(samples: int = 8) -> float:
 
 
 def timed_per_item(fn, fence, items_per_call=1, iters=3, inner=8, rtt=0.0):
-    """Per-item seconds by PAIRED-WINDOW DIFFERENCING: time windows of
-    `inner` and 2×`inner` async dispatches (each the min over `iters`),
-    then divide the difference by `inner` — the per-window fence/RTT
-    cost cancels exactly, so the estimate is immune to an RTT measured
-    during a different relay-turbulence phase. (Subtracting a setup-time
-    RTT once per window, the old scheme, under-reported short stages to
-    below physical floors when setup was turbulent and the measurement
-    windows were calm: a 41.7 ms RTT estimate against a ~35 ms match
-    window left only the 5% floor — 5.4 µs/pair, beneath the 23 µs pure-
-    GEMM bound.) Falls back to rtt-subtraction (floored at 5% of the
-    window) when the difference is non-positive, i.e. the short window
-    never escaped turbulence; the single-window bound t1/inner caps the
-    estimate either way."""
+    """Per-item seconds by PAIRED-WINDOW DIFFERENCING: time PAIRS of
+    windows (`inner` then 2×`inner` async dispatches, back-to-back so
+    both sit in the same relay-turbulence phase), difference each pair,
+    and take the min across pairs — the per-window fence/RTT cost drops
+    out of each pair's difference. Differencing is a floor-protected
+    lower path, not an exact cancellation: a stage whose fence costs
+    more than the probed RTT, or a pair whose short window alone caught
+    turbulence, can still bias one estimator, so the reported time is
+    the MAX of two estimators whose finite-sample failure modes are
+    disjoint:
+      est_sub  under-estimates only when `rtt` (a GLOBAL MIN re-sampled
+               across the whole run) exceeds the stage's true fence
+               floor — i.e. every RTT sample was turbulent;
+      est_diff under-estimates only when some pair's short window was
+               turbulent while its long window was calm (pairs are
+               back-to-back precisely to correlate the phases).
+    Both converge to the true per-item time FROM ABOVE as window count
+    grows (noise is additive positive), so max() is a deliberately
+    conservative bound — fps is under-, never over-reported. (History:
+    subtracting a setup-time RTT once per window under-reported short
+    stages below physical floors — a 41.7 ms RTT estimate against a
+    ~35 ms match window left only the 5% floor, 5.4 µs/pair, beneath
+    the 23 µs pure-GEMM bound; unpaired differencing [all t1 windows,
+    then all t2 windows] let a turbulence phase starting between the
+    blocks inflate the difference to the t1 cap.)"""
 
     def _window(n):
-        ts = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            out = None
-            for _ in range(n):
-                out = fn()
-            fence(out)
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn()
+        fence(out)
+        return time.perf_counter() - t0
 
-    t1 = _window(inner)
-    t2 = _window(2 * inner)
-    diff = t2 - t1
-    # Two estimators whose finite-sample failure modes are disjoint:
-    #   est_sub  under-estimates only when `rtt` (ideally a GLOBAL MIN
-    #            re-sampled across the whole run) exceeds the true RTT
-    #            floor — i.e. every RTT sample was turbulent;
-    #   est_diff under-estimates only when the short windows were all
-    #            turbulent while the long ones were calm.
-    # Both converge to the true per-item time FROM ABOVE as window count
-    # grows (noise is additive positive), so max() of the two is still an
-    # over-estimate — conservative in the honest direction — while either
-    # alone produced below-physical-floor stage times on this relay.
+    t1s, diffs = [], []
+    for _ in range(iters):
+        a = _window(inner)
+        b = _window(2 * inner)
+        t1s.append(a)
+        diffs.append(b - a)
+    t1 = min(t1s)
+    good = [d for d in diffs if d > 0]
     est_sub = max(t1 - rtt, t1 * 0.05) / inner
-    est_diff = (min(diff, t1) / inner) if diff > 0 else 0.0
+    est_diff = (min(min(good), t1) / inner) if good else 0.0
     return max(est_sub, est_diff) / items_per_call
 
 
