@@ -201,6 +201,15 @@ def _compose(shared: dict) -> dict:
                                     "extract@4096kp + same match/pnp/"
                                     "refine/ba terms")
 
+    # Map-build throughput (VERDICT r4 #4): the COLMAP matches_importer /
+    # point_triangulator workloads, measured on device.
+    if "verify" in times:
+        out["verify_pair_ms"] = round(times["verify"] * 1e3, 3)
+        out["verify_pairs_per_s"] = round(1.0 / times["verify"], 1)
+    if "triang" in times:
+        out["triang_pt_us"] = round(times["triang"] * 1e6, 3)
+        out["triang_pts_per_s"] = round(1.0 / times["triang"], 1)
+
     # Run-variance discipline (VERDICT r3 weak #1): fps recomputed from
     # each COMPLETE measurement pass's own stage times, so docs can quote
     # a median + spread instead of a best-of-runs.
@@ -224,7 +233,8 @@ def _compose(shared: dict) -> dict:
               "e2e_med_terr_m", "e2e_med_rerr_deg",
               "e2e_qps_sequential", "e2e_qps_pipelined", "e2e_qps_batched",
               "e2e_accept_batched", "e2e_recall_batched",
-              "e2e_pipeline_speedup", "e2e_note", "stage_errors"):
+              "e2e_pipeline_speedup", "e2e_batched_breakdown",
+              "e2e_note", "stage_errors"):
         if shared.get(k) is not None and shared.get(k) != {}:
             out[k] = shared[k]
     return out
@@ -326,7 +336,13 @@ def run_bench(shared: dict) -> dict:
     ddj = unit(jax.random.fold_in(key, 5), (match_chunk, k, c))
 
     if on_tpu:
-        match = lambda: mutual_nn_match_pallas(qdj, ddj, None, None)[0]
+        # ONE jitted program: called eagerly, the kernel + epilogue +
+        # glue ops each dispatch as a separate relay RPC (~15 ops/call),
+        # which measured as ~1 ms/frame of phantom match time — the
+        # round-4 match50 2.31 ms vs the 1.24 ms kernel floor
+        # (scripts/bench_match_attrib.py pins the attribution).
+        mj = jax.jit(lambda a, b: mutual_nn_match_pallas(a, b, None, None))
+        match = lambda: mj(qdj, ddj)[0]
         shared["matcher"] = "pallas"
     else:
         vm = jax.jit(jax.vmap(lambda a, b: mutual_nn_match(a, b, None, None)))
@@ -544,6 +560,77 @@ def run_bench(shared: dict) -> dict:
         except Exception as e:  # an EXTRA stage must never kill the run
             errors["extract1600"] = f"{type(e).__name__}: {e}"[:400]
             shared["result"] = _compose(shared)
+
+    # --- map-build stages (VERDICT r4 #4): two-view geometric
+    # verification + fixed-pose multi-view triangulation — the COLMAP
+    # matches_importer / point_triangulator workloads
+    # (hloc/triangulation.py:114-147), lanes-form solvers. Registered
+    # after the headline stages so their compile cannot cost a
+    # headline pass-0 number.
+    try:
+        shared["phase"] = "compile:verify"
+        from sfd2_tpu.sfm.twoview import verify_fundamental_ransac
+
+        n_m = 1024 if on_tpu else 128
+        h_hyp = 2048 if on_tpu else 128
+        vb = 16 if on_tpu else 2
+        kv = jax.random.fold_in(key, 31)
+        vpts = jnp.stack([
+            jax.random.uniform(jax.random.fold_in(kv, 0), (vb, n_m), minval=-5, maxval=5),
+            jax.random.uniform(jax.random.fold_in(kv, 1), (vb, n_m), minval=-4, maxval=4),
+            jax.random.uniform(jax.random.fold_in(kv, 2), (vb, n_m), minval=8, maxval=16),
+        ], axis=-1)
+        q2 = jnp.tile(jnp.array([0.9995, 0.0, 0.0312, 0.0]), (vb, 1))
+        t2b = jnp.tile(jnp.array([0.8, 0.05, 0.0]), (vb, 1))
+        vxy1, _ = jax.vmap(lambda p: project_points(p, jnp.array([1.0, 0, 0, 0]), jnp.zeros(3), cam8))(vpts)
+        vxy2, _ = jax.vmap(lambda p, q, t: project_points(p, q, t, cam8))(vpts, q2, t2b)
+        vxy2 = vxy2 + jax.random.normal(jax.random.fold_in(kv, 3), vxy2.shape) * 0.6
+        omask = jax.random.uniform(jax.random.fold_in(kv, 4), (vb, n_m)) < 0.3
+        rxy = jnp.stack([
+            jax.random.uniform(jax.random.fold_in(kv, 5), (vb, n_m), minval=0, maxval=2400),
+            jax.random.uniform(jax.random.fold_in(kv, 6), (vb, n_m), minval=0, maxval=1600),
+        ], axis=-1)
+        vxy2 = jnp.where(omask[..., None], rxy, vxy2)
+        vvalid = jax.random.uniform(jax.random.fold_in(kv, 7), (vb, n_m)) < 0.85
+        vkeys = jax.random.split(jax.random.fold_in(key, 32), vb)
+        verify = jax.jit(jax.vmap(
+            lambda a, b2, v, kk2: verify_fundamental_ransac(
+                a, b2, v, threshold=4.0, key=kk2, num_hypotheses=h_hyp)))
+        np.asarray(verify(vxy1, vxy2, vvalid, vkeys).num_inliers)
+        add_stage("verify", lambda: verify(vxy1, vxy2, vvalid, vkeys),
+                  lambda o: np.asarray(o.num_inliers[:4]), vb, 4)
+
+        shared["phase"] = "compile:triang"
+        from sfd2_tpu.sfm.triangulation import triangulate_tracks
+
+        p_tr = 8192 if on_tpu else 512
+        t_tr = 8
+        kt = jax.random.fold_in(key, 33)
+        tpts = jnp.stack([
+            jax.random.uniform(jax.random.fold_in(kt, 0), (p_tr,), minval=-8, maxval=8),
+            jax.random.uniform(jax.random.fold_in(kt, 1), (p_tr,), minval=-6, maxval=6),
+            jax.random.uniform(jax.random.fold_in(kt, 2), (p_tr,), minval=10, maxval=25),
+        ], axis=1)
+        tqv = jnp.tile(jnp.array([1.0, 0, 0, 0]), (p_tr, t_tr, 1))
+        ttv = jnp.tile(jnp.stack([
+            jnp.linspace(-4, 4, t_tr), jnp.zeros(t_tr), jnp.zeros(t_tr)
+        ], 1)[None], (p_tr, 1, 1))
+        tcams = jnp.tile(cam8[None, None], (p_tr, t_tr, 1))
+        toxy = jax.vmap(
+            lambda p, q, t, c: project_points(
+                p[None].repeat(t_tr, 0)[:, None], q, t, c)[0][:, 0]
+        )(tpts, tqv, ttv, tcams)
+        toxy = toxy + jax.random.normal(jax.random.fold_in(kt, 3), toxy.shape) * 0.4
+        tmask = jax.random.uniform(jax.random.fold_in(kt, 4), (p_tr, t_tr)) < 0.75
+        tmask = tmask.at[:, :2].set(True)
+        tri = jax.jit(lambda xy, m, q, t, c: triangulate_tracks(xy, m, q, t, c))
+        np.asarray(tri(toxy, tmask, tqv, ttv, tcams).errors[:4])
+        add_stage("triang", lambda: tri(toxy, tmask, tqv, ttv, tcams),
+                  lambda o: np.asarray(o.errors[:4]), p_tr, 4)
+        shared["triang_P"] = p_tr
+    except Exception as e:  # extra stages must never kill the run
+        errors["mapbuild"] = f"{type(e).__name__}: {e}"[:400]
+        shared["result"] = _compose(shared)
 
     # --- measurement passes: per-stage minima, result updated live ------
     by_pass = shared.setdefault("times_by_pass", [])
@@ -768,11 +855,22 @@ def _e2e_localize(shared: dict, quick: bool) -> None:
             # own jit compiles (batched PnP/refine programs at the full-Q
             # buckets), so warm with the full job list, then time.
             eng.localize_throughput(jobs)
+            bstats: dict = {}
             t0 = time.perf_counter()
-            results_b = eng.localize_throughput(jobs)
+            results_b = eng.localize_throughput(jobs, stats=bstats)
             wall_b = time.perf_counter() - t0
             bat_qps = len(jobs) / wall_b
             shared["e2e_qps_batched"] = round(bat_qps, 2)
+            # Host/RTT/device breakdown of the batched pass (VERDICT r4
+            # #5): phase wall-clock in ms for the WHOLE batch, plus the
+            # match-table fetch volume — the residual is python glue.
+            acc = sum(v for k, v in bstats.items() if k.endswith("_s"))
+            shared["e2e_batched_breakdown"] = {
+                **{k[:-2] + "_ms": round(v * 1e3, 1)
+                   for k, v in sorted(bstats.items()) if k.endswith("_s")},
+                "match_fetch_mb": round(bstats.get("match_fetch_mb", 0.0), 2),
+                "other_ms": round((wall_b - acc) * 1e3, 1),
+            }
             shared["e2e_pipeline_speedup"] = round(
                 max(pip_qps, bat_qps) / seq_qps, 2) if seq_qps else 0.0
             acc_p = sum(r.source == "accepted" for r in results_p)

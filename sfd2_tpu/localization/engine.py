@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import threading
+import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -637,8 +638,17 @@ class LocalizationEngine:
         )
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _tick(stats, phase: str, t0: float) -> float:
+        """Accumulate wall-clock into stats[phase]; returns a new t0."""
+        now = time.perf_counter()
+        if stats is not None:
+            stats[phase] = stats.get(phase, 0.0) + (now - t0)
+        return now
+
     def _batched_match(self, q_feats_dev: List[tuple],
-                       banks_per_q: List[List[int]]) -> np.ndarray:
+                       banks_per_q: List[List[int]],
+                       stats: Optional[Dict[str, float]] = None) -> np.ndarray:
         """One matcher dispatch for several queries: query i vs its
         padded bank group. Returns matches [Q, D, K] (np, −1 sentinel).
         The flattened (query, bank) axis is bucketed like everything
@@ -654,6 +664,7 @@ class LocalizationEngine:
         # dispatched before any is fetched (JAX dispatch is async), so
         # the device pipeline stays full and only one fetch round-trip
         # is exposed per chunk tail.
+        t0 = time.perf_counter()
         if n_total > 128:
             per_chunk = max(1, 128 // d)
             devs = [
@@ -662,16 +673,28 @@ class LocalizationEngine:
                     banks_per_q[s0:s0 + per_chunk], d)
                 for s0 in range(0, len(banks_per_q), per_chunk)
             ]
+            t0 = self._tick(stats, "match_dispatch_s", t0)
             out = np.full((len(banks_per_q), d, k), -1, np.int64)
             s0 = 0
+            nbytes = 0
             for dev, nq in devs:
-                sub = np.asarray(dev).astype(np.int64)
+                sub = np.asarray(dev)
+                nbytes += sub.nbytes
                 out[s0:s0 + nq] = sub[: nq * d].reshape(nq, d, k)
                 s0 += nq
+            self._tick(stats, "match_fetch_s", t0)
+            if stats is not None:
+                stats["match_fetch_mb"] = (
+                    stats.get("match_fetch_mb", 0.0) + nbytes / 1e6)
             return out
         dev, nq = self._batched_match_dev(q_feats_dev, banks_per_q, d)
-        sub = np.asarray(dev).astype(np.int64)
-        return sub[: nq * d].reshape(nq, d, k)
+        t0 = self._tick(stats, "match_dispatch_s", t0)
+        sub = np.asarray(dev)
+        self._tick(stats, "match_fetch_s", t0)
+        if stats is not None:
+            stats["match_fetch_mb"] = (
+                stats.get("match_fetch_mb", 0.0) + sub.nbytes / 1e6)
+        return sub[: nq * d].reshape(nq, d, k).astype(np.int64)
 
     def _batched_match_dev(self, q_feats_dev, banks_per_q, d):
         """Dispatch one flattened matcher chunk; returns (device matches
@@ -712,9 +735,11 @@ class LocalizationEngine:
         return m.astype(fetch_dt), len(banks_per_q)
 
     def _batched_pnp(self, items: List[tuple], thresh: float,
-                     seed_base: int):
+                     seed_base: int,
+                     stats: Optional[Dict[str, float]] = None):
         """items: [(mkpq, mp3d, cam8)] → ONE vmapped PnP dispatch.
         Returns [(qvec, tvec, inliers, num, success)] per item."""
+        t0 = time.perf_counter()
         n_pad = self._pad_bucket(max(len(it[0]) for it in items))
         qp = _bucket(len(items))
         kp = np.zeros((qp, n_pad, 2), np.float32)
@@ -725,10 +750,13 @@ class LocalizationEngine:
             n = len(mkpq)
             kp[i, :n], p3[i, :n], va[i, :n] = mkpq, mp3d, True
             cams[i] = np.asarray(cam8, np.float32).reshape(8)
-        out = np.asarray(_packed_pnp_batch(self.cfg.num_hypotheses)(
+        dev = _packed_pnp_batch(self.cfg.num_hypotheses)(
             jnp.asarray(kp), jnp.asarray(p3), jnp.asarray(cams),
             jnp.asarray(va), jnp.float32(thresh), _device_prng(seed_base),
-        ))  # [qp, 9 + n_pad]
+        )
+        t0 = self._tick(stats, "pnp_dispatch_s", t0)
+        out = np.asarray(dev)  # [qp, 9 + n_pad]
+        self._tick(stats, "pnp_fetch_s", t0)
         res = []
         for i, (mkpq, _, _) in enumerate(items):
             n = len(mkpq)
@@ -744,6 +772,7 @@ class LocalizationEngine:
     def localize_throughput(
         self,
         jobs: Sequence[Tuple[str, tuple, Sequence[Sequence[int]]]],
+        stats: Optional[Dict[str, float]] = None,
     ) -> List[QueryResult]:
         """Batched-across-queries localization: identical per-query
         gates/fallbacks to `localize`, but every device stage (matching,
@@ -758,6 +787,7 @@ class LocalizationEngine:
         sequential, localize_cv2.py:652)."""
         cfg = self.cfg
         n = len(jobs)
+        t0 = time.perf_counter()
         state = []
         for qi, (qname, qinfo, clusters) in enumerate(jobs):
             model, width, height, params = qinfo
@@ -776,6 +806,7 @@ class LocalizationEngine:
                          "db_id": None},
                 "result": None, "refine": None,
             })
+        t0 = self._tick(stats, "setup_s", t0)
 
         max_rounds = max((len(s["clusters"]) for s in state), default=0)
         for ci in range(max_rounds):
@@ -786,7 +817,8 @@ class LocalizationEngine:
                 break
             matches = self._batched_match(
                 [s["q_dev"] for s in active],
-                [s["clusters"][ci] for s in active])
+                [s["clusters"][ci] for s in active], stats=stats)
+            t0 = time.perf_counter()
             pnp_items, pnp_ctx = [], []
             for s, m in zip(active, matches):
                 cluster = s["clusters"][ci]
@@ -797,10 +829,11 @@ class LocalizationEngine:
                     continue
                 pnp_items.append((mkpq, mp3d, s["cam8"]))
                 pnp_ctx.append((s, per_db, p3d_rows, q_ids, cluster))
+            t0 = self._tick(stats, "assemble_s", t0)
             if not pnp_items:
                 continue
             results = self._batched_pnp(pnp_items, cfg.ransac_thresh,
-                                        seed_base=1000 + ci)
+                                        seed_base=1000 + ci, stats=stats)
             for (s, per_db, p3d_rows, q_ids, cluster), \
                     (qv, tv, inliers, num, success) in zip(pnp_ctx, results):
                 if not success:
@@ -843,7 +876,7 @@ class LocalizationEngine:
         # --- batched covisibility refinement ----------------------------
         pool = [s for s in state if s["refine"] is not None]
         if cfg.do_covisibility_opt and "clu" in cfg.opt_type and pool:
-            self._refine_pool(pool)
+            self._refine_pool(pool, stats=stats)
         for s in pool:
             if s["result"] is None:  # refinement opted out / kept pose
                 _, qv, tv, src = s["refine"]
@@ -851,10 +884,12 @@ class LocalizationEngine:
                                           s["log"], source=src)
         return [s["result"] for s in state]
 
-    def _refine_pool(self, pool: List[dict]) -> None:
+    def _refine_pool(self, pool: List[dict],
+                     stats: Optional[Dict[str, float]] = None) -> None:
         """pose_refinement_covisibility for a pool of accepted queries,
         each stage one dispatch (matcher → PnP → iterative LM)."""
         cfg = self.cfg
+        t0 = time.perf_counter()
         banks = []
         for s in pool:
             seed_db, qv, tv, _ = s["refine"]
@@ -868,8 +903,11 @@ class LocalizationEngine:
                     covisibility_frame=cfg.covisibility_frame,
                     q_th=10.0, t_th=10.0, obs_th=cfg.obs_thresh)
             banks.append(list(ids))
-        matches = self._batched_match([s["q_dev"] for s in pool], banks)
+        t0 = self._tick(stats, "covis_s", t0)
+        matches = self._batched_match([s["q_dev"] for s in pool], banks,
+                                      stats=stats)
 
+        t0 = time.perf_counter()
         pnp_items, ctx = [], []
         for s, m, ids in zip(pool, matches, banks):
             _, qv, tv, src = s["refine"]
@@ -884,9 +922,11 @@ class LocalizationEngine:
                 continue
             pnp_items.append((mkpq, mp3d, s["cam8"]))
             ctx.append((s, mkpq, mp3d, src))
+        t0 = self._tick(stats, "assemble_s", t0)
         if not pnp_items:
             return
-        results = self._batched_pnp(pnp_items, cfg.opt_thresh, seed_base=77)
+        results = self._batched_pnp(pnp_items, cfg.opt_thresh, seed_base=77,
+                                    stats=stats)
 
         lm_items, lm_ctx = [], []
         for (s, mkpq, mp3d, src), (qv, tv, inl, num, success) in zip(ctx, results):
@@ -919,11 +959,13 @@ class LocalizationEngine:
             qv_a[i], tv_a[i] = qv, tv
             p3[i, :nmatch], kp[i, :nmatch], ms[i, :nmatch] = mp3d, mkpq, inl
             cams[i] = np.asarray(cam8, np.float32).reshape(8)
+        t0 = time.perf_counter()
         out = np.asarray(_packed_refine_batch(cfg.iters)(
             jnp.asarray(qv_a), jnp.asarray(tv_a), jnp.asarray(p3),
             jnp.asarray(kp), jnp.asarray(cams), jnp.asarray(ms),
             jnp.float32(cfg.opt_thresh),
         ))
+        t0 = self._tick(stats, "lm_s", t0)
         for i, (s, num, src) in enumerate(lm_ctx):
             qv, tv = lm_items[i][0], lm_items[i][1]
             if int(out[i, 7]) > 0:

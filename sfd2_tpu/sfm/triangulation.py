@@ -34,49 +34,154 @@ class TriangulationResult(NamedTuple):
     tri_angle_deg: jax.Array  # [P] max pairwise triangulation angle
 
 
-def _triangulate_dlt(
-    norm_xy: jax.Array,  # [T, 2] normalised undistorted observations
-    rot: jax.Array,  # [T, 3, 3]
-    tvec: jax.Array,  # [T, 3]
-    w: jax.Array,  # [T] observation weights
-):
-    """Weighted linear triangulation: rows x·(P3) − P1, y·(P3) − P2."""
-    p1 = rot[:, 0, :]
-    p2 = rot[:, 1, :]
-    p3 = rot[:, 2, :]
-    t1, t2, t3 = tvec[:, 0], tvec[:, 1], tvec[:, 2]
-    x, y = norm_xy[:, 0], norm_xy[:, 1]
-    # Homogeneous rows [a | b] with a∈R³, b scalar.
-    row_x = jnp.concatenate(
-        [x[:, None] * p3 - p1, (x * t3 - t1)[:, None]], axis=1
+def _inv3_lanes(m):
+    """Closed-form inverse of [..., 3, 3] via the adjugate — XLA's
+    batched LU is pathological on TPU (same helper as sfm/ba.py)."""
+    r0, r1, r2 = m[..., 0, :], m[..., 1, :], m[..., 2, :]
+    c0 = jnp.cross(r1, r2)
+    c1 = jnp.cross(r2, r0)
+    c2 = jnp.cross(r0, r1)
+    det = jnp.sum(r0 * c0, axis=-1)[..., None, None]
+    return jnp.stack([c0, c1, c2], axis=-1) / det
+
+
+def _triangulate_dlt_lanes(
+    norm_xy: jax.Array,  # [P, T, 2] normalised undistorted observations
+    rots: jax.Array,  # [P, T, 3, 3]
+    tvecs: jax.Array,  # [P, T, 3]
+    w: jax.Array,  # [P, T] observation weights
+) -> jax.Array:
+    """Weighted linear triangulation of all P tracks at once: rows
+    x·(P3) − P1, y·(P3) − P2, solved as the nullvector of the 4×4 Gram
+    matrix with every entry a [P]-lane vector (unrolled Cholesky +
+    inverse subspace iteration + Rayleigh–Ritz — the
+    pnp_dlt_fast_lanes pattern at size 4; XLA's per-track SVD of
+    [2T,4] is pathological batched small-matrix linalg on TPU).
+
+    Conditioning: translations are rescaled per track by their mean
+    magnitude τ so all Gram entries are O(1) in f32 (the Hartley-style
+    guard CLAUDE.md requires before Gram-form solves); the solution is
+    scaled back by τ. The Gauss–Newton polish then converges from this
+    starting point exactly as it did from the SVD solution."""
+    dt = norm_xy.dtype
+    wsum = jnp.maximum(jnp.sum(w, axis=-1), 1e-12)  # [P]
+    tau = jnp.sum(jnp.linalg.norm(tvecs, axis=-1) * w, axis=-1) / wsum
+    tau = jnp.maximum(tau, 1e-6)  # [P]
+    ts = tvecs / tau[:, None, None]
+    p1, p2, p3 = rots[..., 0, :], rots[..., 1, :], rots[..., 2, :]
+    x, y = norm_xy[..., 0], norm_xy[..., 1]
+    rx = x[..., None] * p3 - p1  # [P, T, 3]
+    bx = x * ts[..., 2] - ts[..., 0]  # [P, T]
+    ry = y[..., None] * p3 - p2
+    by = y * ts[..., 2] - ts[..., 1]
+    w2 = w * w
+
+    # 4×4 Gram from both row families; entries are [P] vectors.
+    def acc(a3, b1):
+        g = {}
+        for i in range(3):
+            for j in range(i, 3):
+                g[(i, j)] = jnp.sum(w2 * a3[..., i] * a3[..., j], axis=-1)
+            g[(i, 3)] = jnp.sum(w2 * a3[..., i] * b1, axis=-1)
+        g[(3, 3)] = jnp.sum(w2 * b1 * b1, axis=-1)
+        return g
+
+    gx, gy = acc(rx, bx), acc(ry, by)
+    m = {}
+    for i in range(4):
+        for j in range(i, 4):
+            m[(i, j)] = m[(j, i)] = gx[(i, j)] + gy[(i, j)]
+    trace = sum(m[(d, d)] for d in range(4))
+    eps = 1e-6 * (trace / 4.0) + 1e-30
+    for d in range(4):
+        m[(d, d)] = m[(d, d)] + eps
+
+    ch = {}
+    for j in range(4):
+        djj = m[(j, j)] - sum(ch[(j, k)] * ch[(j, k)] for k in range(j))
+        ljj = jnp.sqrt(jnp.maximum(djj, 1e-30))
+        ch[(j, j)] = ljj
+        inv = 1.0 / ljj
+        for i in range(j + 1, 4):
+            ch[(i, j)] = (
+                m[(i, j)] - sum(ch[(i, k)] * ch[(j, k)] for k in range(j))
+            ) * inv
+
+    lead = x.shape[:-1]
+    cols_iter = [
+        [jnp.full(lead, 0.5, dt) for _ in range(4)],
+        [jnp.full(lead, (0.5 if i % 2 == 0 else -0.5), dt) for i in range(4)],
+    ]
+    for _ in range(4):
+        new_cols = []
+        for bvec in cols_iter:
+            yv = []
+            for i in range(4):
+                yv.append(
+                    (bvec[i] - sum(ch[(i, k)] * yv[k] for k in range(i)))
+                    / ch[(i, i)]
+                )
+            xv = [None] * 4
+            for i in range(3, -1, -1):
+                xv[i] = (
+                    yv[i] - sum(ch[(k, i)] * xv[k] for k in range(i + 1, 4))
+                ) / ch[(i, i)]
+            new_cols.append(xv)
+        c0, c1 = new_cols
+        n0 = jnp.sqrt(sum(t * t for t in c0))
+        c0 = [t / jnp.maximum(n0, 1e-30) for t in c0]
+        d01 = sum(a * b for a, b in zip(c0, c1))
+        c1 = [b - d01 * a for a, b in zip(c0, c1)]
+        n1 = jnp.sqrt(sum(t * t for t in c1))
+        c1 = [t / jnp.maximum(n1, 1e-30) for t in c1]
+        cols_iter = [c0, c1]
+
+    c0, c1 = cols_iter
+    m0 = [sum(m[(i, j)] * c0[j] for j in range(4)) for i in range(4)]
+    m1 = [sum(m[(i, j)] * c1[j] for j in range(4)) for i in range(4)]
+    baa = sum(a * b for a, b in zip(c0, m0))
+    bab = sum(a * b for a, b in zip(c0, m1))
+    bcc = sum(a * b for a, b in zip(c1, m1))
+    lam = 0.5 * (baa + bcc) - jnp.sqrt(
+        jnp.square(0.5 * (baa - bcc)) + jnp.square(bab)
     )
-    row_y = jnp.concatenate(
-        [y[:, None] * p3 - p2, (y * t3 - t2)[:, None]], axis=1
-    )
-    a = jnp.concatenate([row_x * w[:, None], row_y * w[:, None]], axis=0)  # [2T, 4]
-    # SVD of A (f32 conditioning; see CLAUDE.md), not eigh of AᵀA.
-    _, _, vt = jnp.linalg.svd(a, full_matrices=False)
-    h = vt[-1]
-    return h[:3] / jnp.where(jnp.abs(h[3]) < 1e-12, 1e-12, h[3])
+    use_a = jnp.abs(lam - baa) > jnp.abs(lam - bcc)
+    v0 = jnp.where(use_a, bab, lam - bcc)
+    v1 = jnp.where(use_a, lam - baa, bab)
+    vn = jnp.sqrt(v0 * v0 + v1 * v1)
+    tiny = vn < 1e-20
+    v0 = jnp.where(tiny, jnp.where(baa <= bcc, 1.0, 0.0), v0)
+    v1 = jnp.where(tiny, jnp.where(baa <= bcc, 0.0, 1.0), v1)
+    vn = jnp.sqrt(v0 * v0 + v1 * v1)
+    v0, v1 = v0 / vn, v1 / vn
+    h = [a * v0 + b * v1 for a, b in zip(c0, c1)]
+    h3 = jnp.where(jnp.abs(h[3]) < 1e-12,
+                   jnp.where(h[3] < 0, -1e-12, 1e-12), h[3])
+    xyz = jnp.stack([h[0] / h3, h[1] / h3, h[2] / h3], axis=-1)
+    return xyz * tau[:, None]
 
 
-def _refine_point_gn(xyz, norm_xy, rot, tvec, w, iters: int = 3):
-    """Gauss–Newton on the 3D point (normalised-coordinate residuals)."""
-
-    def residuals(p):
-        pc = jnp.einsum("tij,j->ti", rot, p) + tvec
-        z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
-        proj = pc[:, :2] / z[:, None]
-        return ((proj - norm_xy) * w[:, None]).reshape(-1)
-
+def _refine_points_gn_lanes(xyz, norm_xy, rots, tvecs, w, iters: int = 3):
+    """Gauss–Newton on all P 3D points at once (normalised-coordinate
+    residuals, analytic 2×3 Jacobians, adjugate 3×3 solves — no jacfwd,
+    no batched LU)."""
     p = xyz
+    eye3 = jnp.eye(3, dtype=xyz.dtype)
     for _ in range(iters):
-        r = residuals(p)
-        jac = jax.jacfwd(residuals)(p)  # [2T, 3]
-        jtj = jac.T @ jac + 1e-8 * jnp.eye(3)
-        step = jnp.linalg.solve(jtj, jac.T @ r)
+        pc = jnp.einsum("ptij,pj->pti", rots, p) + tvecs
+        z = jnp.where(jnp.abs(pc[..., 2]) < 1e-9, 1e-9, pc[..., 2])
+        proj = pc[..., :2] / z[..., None]
+        r = (proj - norm_xy) * w[..., None]  # [P, T, 2]
+        # ∂proj/∂p = (R[:2] − proj ⊗ R[2]) / z, scaled by w.
+        jac = (
+            (rots[..., :2, :] - proj[..., None] * rots[..., 2:3, :])
+            / z[..., None, None] * w[..., None, None]
+        )  # [P, T, 2, 3]
+        jtj = jnp.einsum("ptci,ptcj->pij", jac, jac) + 1e-8 * eye3
+        g = jnp.einsum("ptci,ptc->pi", jac, r)
+        step = jnp.einsum("pij,pj->pi", _inv3_lanes(jtj), g)
         p_new = p - step
-        ok = jnp.all(jnp.isfinite(p_new))
+        ok = jnp.all(jnp.isfinite(p_new), axis=-1, keepdims=True)
         p = jnp.where(ok, p_new, p)
     return p
 
@@ -102,10 +207,8 @@ def triangulate_tracks(
         cam_params.reshape(p_cnt * t_cnt, 8),
     ).reshape(p_cnt, t_cnt, 2)
 
-    xyz = jax.vmap(_triangulate_dlt)(norm_xy, rots, tvecs, w)
-    xyz = jax.vmap(lambda p, nxy, r, t, ww: _refine_point_gn(p, nxy, r, t, ww, refine_iters))(
-        xyz, norm_xy, rots, tvecs, w
-    )
+    xyz = _triangulate_dlt_lanes(norm_xy, rots, tvecs, w)
+    xyz = _refine_points_gn_lanes(xyz, norm_xy, rots, tvecs, w, refine_iters)
 
     # Reprojection + cheirality per observation.
     proj2, depth2 = project_points(

@@ -221,8 +221,14 @@ def test_localize_throughput_matches_sequential(served_scene):
     jobs = [(qname, scene.qinfo, [[int(i)] for i in near])
             for qname, _, _, near in scene.queries]
     seq = [eng.localize(*j) for j in jobs]
-    bat = eng.localize_throughput(jobs)
+    stats = {}
+    bat = eng.localize_throughput(jobs, stats=stats)
     assert len(bat) == len(seq)
+    # Phase breakdown populated (bench.py e2e_batched_breakdown source).
+    for phase in ("setup_s", "match_dispatch_s", "match_fetch_s",
+                  "assemble_s", "pnp_dispatch_s", "pnp_fetch_s"):
+        assert phase in stats and stats[phase] >= 0.0, (phase, stats)
+    assert stats.get("match_fetch_mb", 0.0) > 0.0
     for (qname, q_gt, t_gt, _), a, b in zip(scene.queries, seq, bat):
         assert a.source == b.source, (qname, a.source, b.source)
         if a.source in ("accepted", "best_fallback"):
