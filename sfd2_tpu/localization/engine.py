@@ -177,6 +177,10 @@ class LocalizerConfig:
     # fresh jit compile (minutes through the remote-TPU compile helper);
     # a floor ≥ the typical count pins everything to ONE program.
     pnp_pad_floor: int = 64
+    # LRU capacity (images) of the host feature cache AND the HBM bank
+    # cache. At Aachen scale (~6.7k DB images, ~1 MB/bank bf16) the whole
+    # map fits in HBM — raise this so injected banks are never evicted.
+    db_cache_images: int = 1024
 
 
 @dataclasses.dataclass
@@ -209,13 +213,17 @@ class LocalizationEngine:
         from collections import OrderedDict
 
         self._db_cache: "OrderedDict[str, tuple]" = OrderedDict()
-        self._db_cache_max = 1024
+        self._db_cache_max = config.db_cache_images
         # Device-resident DB banks: each image's padded descriptors are
         # uploaded ONCE and stay in HBM (~2 MB each at K=4096); re-sending
         # the bank per query costs seconds through the relay (CLAUDE.md
         # "uploads are slow") and is wasted host→HBM traffic anywhere.
         self._db_dev_cache: "OrderedDict[str, tuple]" = OrderedDict()
         self._dev_zero_entry = None
+        # dtype of the device descriptor banks: f32 when uploaded from the
+        # host store, bf16 when injected device-born (inject_db_features)
+        # — the Pallas matcher runs either at full MXU rate.
+        self._bank_dtype = jnp.float32
         # localize() is thread-safe (see localize_many): the shared LRU
         # caches and the (non-thread-safe) HDF5 feature store are the only
         # cross-query mutable state, guarded by this lock. JAX dispatch
@@ -239,6 +247,7 @@ class LocalizationEngine:
         if self._label_aware:
             def _mq(q, bank, qv, bv, ql, bl):
                 d = bank.shape[0]
+                q = q.astype(bank.dtype)  # bf16 banks → bf16 GEMM operands
                 m, s = matcher(
                     jnp.broadcast_to(q[None], (d, *q.shape)), bank,
                     jnp.broadcast_to(qv[None], (d, qv.shape[0])), bv,
@@ -248,6 +257,7 @@ class LocalizationEngine:
         else:
             def _mq(q, bank, qv, bv):
                 d = bank.shape[0]
+                q = q.astype(bank.dtype)  # bf16 banks → bf16 GEMM operands
                 m, s = matcher(
                     jnp.broadcast_to(q[None], (d, *q.shape)), bank,
                     jnp.broadcast_to(qv[None], (d, qv.shape[0])), bv,
@@ -300,16 +310,50 @@ class LocalizationEngine:
             return entry
 
     def _dev_zero(self, c: int):
-        """Padding entry for bank slots past len(db_ids)."""
+        """Padding entry for bank slots past len(db_ids) (bank dtype)."""
         with self._cache_lock:
             if self._dev_zero_entry is None or \
-                    self._dev_zero_entry[0].shape[1] != c:
+                    self._dev_zero_entry[0].shape[1] != c or \
+                    self._dev_zero_entry[0].dtype != self._bank_dtype:
                 k = self.cfg.max_keypoints
                 self._dev_zero_entry = (
-                    jnp.zeros((k, c), jnp.float32), jnp.zeros(k, bool),
+                    jnp.zeros((k, c), self._bank_dtype), jnp.zeros(k, bool),
                     jnp.zeros(k, jnp.int32) if self._label_aware else None,
                 )
             return self._dev_zero_entry
+
+    # ------------------------------------------------------------------
+    def inject_db_features(self, image_id: int, kp: np.ndarray,
+                           desc_dev, valid: np.ndarray, labels=None):
+        """Device-resident extract→localize handoff: register a DB image
+        whose descriptors were born ON DEVICE (`desc_dev` [K, C], any
+        float dtype — bf16 recommended) and never crossed the relay.
+
+        The reference pipeline round-trips features through an HDF5 store
+        (extract_localization.py → localize_cv2.py); at map scale that
+        costs a multi-GB host↔HBM transfer. Here extraction output stays
+        in HBM and only the host-side metadata (kp xy + 3D-point rows,
+        used by 2D-3D assembly) is registered. Set
+        `LocalizerConfig.db_cache_images ≥ #DB images` so injected banks
+        are never evicted (eviction would fall back to the store, which
+        does not hold these descriptors)."""
+        name = self.map.images[image_id].name
+        k = self.cfg.max_keypoints
+        prow_full = self.map.p3d_rows_per_image[self.map.image_row[image_id]]
+        prow = np.full(k, -1, np.int64)
+        n = min(len(prow_full), k)
+        prow[:n] = prow_full[:n]
+        valid3d = np.asarray(valid, bool) & (prow >= 0)
+        # Reference bails out when ≤3 valid 3D rows (localize_cv2.py:530).
+        v = valid3d if valid3d.sum() > 3 else np.zeros_like(valid3d)
+        with self._cache_lock:
+            self._bank_dtype = desc_dev.dtype
+            self._db_cache[name] = (kp, None, valid3d, prow,
+                                    np.zeros(k, np.int32))
+            self._db_dev_cache[name] = (
+                desc_dev, jnp.asarray(v),
+                jnp.zeros(k, jnp.int32) if self._label_aware else None,
+            )
 
     def _match_query_to_dbs(self, q_desc, q_valid, db_ids: Sequence[int],
                             q_labels=None):
@@ -716,6 +760,8 @@ class LocalizationEngine:
         bank = jnp.stack(descs)
         bval = jnp.stack(vals)
         qs = jnp.repeat(jnp.stack([qf[0] for qf in q_feats_dev]), d, axis=0)
+        if bank.dtype != qs.dtype:
+            qs = qs.astype(bank.dtype)
         qv = jnp.repeat(jnp.stack([qf[1] for qf in q_feats_dev]), d, axis=0)
         qpad = n_flat - qs.shape[0]
         if qpad:

@@ -68,6 +68,66 @@ class MapIndex:
         self.tvecs = np.stack([images[i].tvec for i in self.image_ids])
 
     # ------------------------------------------------------------------
+    @classmethod
+    def from_arrays(
+        cls,
+        cameras: Dict,
+        images: Dict,
+        prow_per_image: Dict[int, np.ndarray],
+        point_xyz: np.ndarray,
+        track_len: np.ndarray,
+    ) -> "MapIndex":
+        """Vectorised constructor for reconstruction-scale maps.
+
+        ``__init__`` walks COLMAP-style dicts with per-keypoint python
+        lookups — ~10⁷ dict hits at Aachen scale (6.7k images × 4k kp,
+        the map the reference localizes against). Here the per-image
+        3D-point-row tables (−1 = unobserved; row index == point id) and
+        the point arrays are given directly, so the incidence CSR is one
+        ``np.unique`` over packed (image, point) keys. ``points3d`` is
+        left empty: every query-path consumer reads the row-indexed
+        arrays (`point_xyz`, `track_len`, `p3d_rows_per_image`,
+        `incidence`), not the dict.
+        """
+        self = cls.__new__(cls)
+        self.cameras = cameras
+        self.images = images
+        self.points3d = {}
+
+        self.image_ids = np.array(sorted(images.keys()), dtype=np.int64)
+        self.image_row = {int(i): r for r, i in enumerate(self.image_ids)}
+        self.names = [images[i].name for i in self.image_ids]
+        self.name_to_image_id = {images[i].name: int(i)
+                                 for i in self.image_ids}
+
+        n_pts = len(point_xyz)
+        self.point_ids = np.arange(n_pts, dtype=np.int64)
+        self.point_row = None  # identity mapping at scale; unused here
+        self.point_xyz = np.asarray(point_xyz, np.float64)
+        self.track_len = np.asarray(track_len, np.int32)
+
+        self.p3d_rows_per_image = [
+            np.asarray(prow_per_image[int(i)], np.int64)
+            for i in self.image_ids
+        ]
+        keys = np.concatenate([
+            r * n_pts + prow[prow >= 0]
+            for r, prow in enumerate(self.p3d_rows_per_image)
+        ]) if n_pts else np.zeros(0, np.int64)
+        keys = np.unique(keys)
+        rows = (keys // n_pts).astype(np.int64) if n_pts else keys
+        cols = (keys % n_pts).astype(np.int64) if n_pts else keys
+        self.incidence = sp.csr_matrix(
+            (np.ones(len(keys), np.int32), (rows, cols)),
+            shape=(len(self.image_ids), n_pts),
+        )
+        self._incidence_t = self.incidence.T.tocsr()
+
+        self.qvecs = np.stack([images[i].qvec for i in self.image_ids])
+        self.tvecs = np.stack([images[i].tvec for i in self.image_ids])
+        return self
+
+    # ------------------------------------------------------------------
     def observed_point_rows(self, image_id: int) -> np.ndarray:
         prow = self.p3d_rows_per_image[self.image_row[image_id]]
         return np.unique(prow[prow >= 0])

@@ -99,3 +99,59 @@ def build_tracks(
         if len(obs) >= min_track_length:
             tracks.append(obs)
     return tracks
+
+
+def build_tracks_arrays(
+    n_images: int,
+    kp_per_image: int,
+    edges: np.ndarray,
+    min_track_length: int = 2,
+):
+    """Vectorised track builder for reconstruction-scale graphs.
+
+    Same semantics as :func:`build_tracks` (one observation per image per
+    track, first keypoint index wins; tracks with ≥ `min_track_length`
+    distinct images kept) but nodes are ``image_row * kp_per_image +
+    kp_idx`` and the output is flat arrays — no per-track python lists,
+    which at Aachen scale (~10⁷ observations, the map size the reference
+    localizes against) cost minutes and GBs of tuple objects.
+
+    Returns ``(obs_img_row, obs_kp, obs_track, n_tracks)`` int32/int64
+    arrays sorted by track id.
+    """
+    from sfd2_tpu.native import union_find_roots
+
+    total = n_images * kp_per_image
+    edges = np.asarray(edges, np.int64).reshape(-1, 2)
+    roots = union_find_roots(total, edges)
+    if roots is None:
+        dsu = UnionFind(total)
+        for a, b in edges:
+            dsu.union(int(a), int(b))
+        roots = np.array([dsu.find(i) for i in range(total)], np.int64)
+
+    nodes = np.unique(edges)  # only nodes with ≥1 match edge form tracks
+    comp = roots[nodes]
+    _, track_of = np.unique(comp, return_inverse=True)
+    img = nodes // kp_per_image
+    kp = nodes % kp_per_image
+
+    # One observation per (track, image): lexsort by (track, img, kp) and
+    # keep the first kp of each (track, img) run.
+    order = np.lexsort((kp, img, track_of))
+    t_s, i_s, k_s = track_of[order], img[order], kp[order]
+    first = np.ones(len(order), bool)
+    first[1:] = (t_s[1:] != t_s[:-1]) | (i_s[1:] != i_s[:-1])
+    t_s, i_s, k_s = t_s[first], i_s[first], k_s[first]
+
+    # Track-length filter + dense renumbering.
+    lengths = np.bincount(t_s)
+    keep_tracks = lengths >= min_track_length
+    renum = np.cumsum(keep_tracks) - 1
+    keep_obs = keep_tracks[t_s]
+    return (
+        i_s[keep_obs].astype(np.int32),
+        k_s[keep_obs].astype(np.int32),
+        renum[t_s[keep_obs]].astype(np.int64),
+        int(keep_tracks.sum()),
+    )
