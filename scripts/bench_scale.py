@@ -132,6 +132,8 @@ def stage(name):
 
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
+    from sfd2_tpu.utils.benchtime import enable_compile_cache
+    enable_compile_cache(str(ROOT))  # reruns after a wedge recompile fast
     dev = jax.devices()[0]
     shared["platform"] = dev.platform
     rng = np.random.default_rng(404)
@@ -443,6 +445,20 @@ def main():
                 else:
                     sub = np.arange(m_all)
                 bi, bk, bp = f_img[sub], f_kp[sub], f_pt[sub]
+                # The remote compile helper dies on the full 1.6M-point
+                # graph (HTTP 500, same class as the lax.scan SIGABRT in
+                # CLAUDE.md). Windowed BA is the standard fallback at
+                # map scale: restrict to a camera window and the points
+                # it observes, remapped dense.
+                win = _env("SCALE_BA_CAMS", 1024)
+                if len(np.unique(bp)) > _env("SCALE_BA_MAX_PTS", 400_000):
+                    inwin = bi < win
+                    bi, bk, bp = bi[inwin], bk[inwin], bp[inwin]
+                    upts, bp = np.unique(bp, return_inverse=True)
+                    shared["counts"]["ba_window_cams"] = win
+                    shared["counts"]["ba_window_pts"] = int(len(upts))
+                else:
+                    upts = np.arange(n_points)
 
                 @jax.jit
                 def ba_obs_xy(xybuf, ci, ki):
@@ -456,10 +472,10 @@ def main():
                     obs_xy=oxy,
                     obs_cam=jnp.asarray(bi, jnp.int32),
                     obs_point=jnp.asarray(bp, jnp.int32),
-                    obs_w=jnp.ones(len(sub), jnp.float32),
+                    obs_w=jnp.ones(len(bi), jnp.float32),
                     qvecs=qv_all, tvecs=tv_all,
                     cam_params=jnp.tile(cam8_j[None], (N_DB, 1)),
-                    points=jnp.asarray(point_xyz, jnp.float32),
+                    points=jnp.asarray(point_xyz[upts], jnp.float32),
                     fixed_cams=jnp.asarray(fixed),
                 )
                 ba_fn = jax.jit(lambda p: bundle_adjust(
@@ -467,10 +483,11 @@ def main():
                 t0 = time.time()
                 res = ba_fn(problem)
                 ic = float(res.initial_cost); fc = float(res.final_cost)
-                shared["counts"]["ba_obs"] = int(len(sub))
+                shared["counts"]["ba_obs"] = int(len(bi))
                 shared["counts"]["ba_initial_cost"] = round(ic, 4)
                 shared["counts"]["ba_final_cost"] = round(fc, 4)
-                point_xyz = np.asarray(res.points, np.float64)
+                point_xyz = point_xyz.astype(np.float64)
+                point_xyz[upts] = np.asarray(res.points, np.float64)
                 db_q_ba = np.asarray(res.qvecs, np.float64)
                 db_t_ba = np.asarray(res.tvecs, np.float64)
                 del problem, oxy, res  # free HBM before bank slicing
@@ -534,6 +551,14 @@ def main():
         jobs = [(f"q/{qi:03d}.jpg", qinfo, [[int(j)] for j in retr[qi]])
                 for qi in range(N_Q)]
         stats: dict = {}
+
+        def _live():  # localize is compile-heavy on a cold cache; show it
+            while shared["phase"] == "localize":
+                shared["localize_phase_s"] = {
+                    k: round(v, 2) for k, v in dict(stats).items()}
+                _flush()
+                time.sleep(15)
+        threading.Thread(target=_live, daemon=True).start()
         t0 = time.time()
         results = eng.localize_throughput(jobs, stats=stats)
         loc_s = time.time() - t0
